@@ -1,0 +1,135 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tomojax.core.geometry import Geometry, Views
+from tomojax.core.operators import make_operator
+from tomojax.core import phantom
+from tomojax.recon import cgls, sirt, tikhonov_gd, lasso_fista, lasso_ista, \
+    fista_tv, tv
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def problem():
+    n = 16
+    n_proj = 36
+    vol = phantom.shepp3d(n).astype(np.float32)
+    geom = Geometry(n_proj=n_proj, vox_shape=(n, n, n), det_shape=(n, n))
+    views = Views.create(n_proj)
+    op = make_operator(geom, views, family="ray", dtype=F32)
+    b = op.A(jnp.asarray(vol))
+    return vol, geom, views, op, b
+
+
+def _rel_err(x, ref):
+    x = np.asarray(x).ravel()
+    ref = np.asarray(ref).ravel()
+    return np.linalg.norm(x - ref) / np.linalg.norm(ref)
+
+
+def test_cgls_converges(problem):
+    vol, geom, views, op, b = problem
+    res = cgls(op, b, niter=60)
+    assert _rel_err(res.x, vol) < 0.06
+    # convergence history is decreasing on this clean problem
+    conv = np.asarray(res.convergence)[: int(res.n_iter)]
+    assert conv[-1] < conv[0] * 1e-2
+
+
+def test_cgls_ground_truth_metric(problem):
+    vol, geom, views, op, b = problem
+    res = cgls(op, b, niter=15, ground_truth=vol)
+    rms = np.asarray(res.rms_error)[: int(res.n_iter)]
+    assert rms[-1] < rms[0]
+    assert rms[-1] == pytest.approx(_rel_err(res.x, vol), rel=1e-3)
+
+
+def test_sirt_converges(problem):
+    vol, geom, views, op, b = problem
+    res = sirt(op, b, niter=150, positivity=True)
+    # SIRT converges slowly; 150 iterations reach ~0.22 on this problem
+    assert _rel_err(res.x, vol) < 0.3
+    rms = np.asarray(res.rms_error)[: int(res.n_iter)]
+    assert rms[-1] < 0.5 * rms[0]
+    assert np.all(np.asarray(res.x) >= 0.0)
+
+
+def test_sirt_semiconvergence_stops(problem):
+    vol, geom, views, op, b = problem
+    noisy = b + 0.05 * float(jnp.max(b)) * \
+        jnp.asarray(np.random.default_rng(0).standard_normal(b.shape),
+                    dtype=b.dtype)
+    res = sirt(op, noisy, niter=500, ground_truth=vol)
+    # on noisy data SIRT must stop early via the semi-convergence criterion
+    assert int(res.n_iter) < 500
+    assert int(res.stop_reason) == 1
+
+
+def test_tikhonov_gd(problem):
+    vol, geom, views, op, b = problem
+    res = tikhonov_gd(op, b, niter=40, reg_param=0.1, positivity=True)
+    # plain GD converges slowly; assert steady progress, not a tight bound
+    assert _rel_err(res.x, vol) < 0.45
+    rms = np.asarray(res.rms_error)[: int(res.n_iter)]
+    assert rms[-1] < 0.5 * rms[0]
+
+
+def test_lasso(problem):
+    vol, geom, views, op, b = problem
+    res_i = lasso_ista(op, b, niter=20, reg_param=0.01)
+    res_f = lasso_fista(op, b, niter=20, reg_param=0.01)
+    assert _rel_err(res_i.x, vol) < 0.45
+    assert _rel_err(res_f.x, vol) < 0.45
+    # acceleration should not be worse
+    assert _rel_err(res_f.x, vol) <= _rel_err(res_i.x, vol) + 0.02
+    # step sizes from backtracking stay positive
+    assert np.all(np.asarray(res_f.step_size)[: int(res_f.n_iter)] > 0)
+
+
+def test_fista_tv(problem):
+    vol, geom, views, op, b = problem
+    # hyper=None auto-sets the step from a power-iteration Lipschitz bound
+    res = fista_tv(op, b, niter=40, hyper=None, beta_tv=0.005, niter_tv=10)
+    assert _rel_err(res.x, vol) < 0.35
+
+
+def test_tv_gradient_div_adjoint():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((9, 8, 7)))
+    p = jnp.asarray(rng.random((3, 9, 8, 7)))
+    # zero the trailing faces of p as gradient() produces
+    p = p.at[0, -1].set(0.0).at[1, :, -1].set(0.0).at[2, :, :, -1].set(0.0)
+    lhs = float(jnp.vdot(tv.gradient(x), p))
+    rhs = -float(jnp.vdot(x, tv.div(p)))
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
+
+
+def test_tv_denoise_reduces_noise():
+    clean = jnp.asarray(phantom.shepp3d(24))
+    rng = np.random.default_rng(4)
+    noisy = clean + 0.1 * jnp.asarray(rng.standard_normal(clean.shape),
+                                      dtype=clean.dtype)
+    den = tv.denoise_fista(noisy, weight=0.08, niter=100)
+    assert float(jnp.linalg.norm(den - clean)) < \
+        0.6 * float(jnp.linalg.norm(noisy - clean))
+
+
+def test_voxel_family_solver(problem):
+    # reconstruction also works with the voxel-driven operator family
+    vol, geom, views, op, b = problem
+    opv = make_operator(geom, views, family="voxel", dtype=F32)
+    bv = opv.A(jnp.asarray(vol))
+    res = cgls(opv, bv, niter=60)
+    assert _rel_err(res.x, vol) < 0.3
+
+
+def test_solver_jits(problem):
+    # the full CGLS loop compiles as a single jitted program
+    vol, geom, views, op, b = problem
+    f = jax.jit(lambda bb: cgls(op, bb, niter=5).x)
+    x1 = f(b)
+    x2 = f(b + 0.0)
+    np.testing.assert_allclose(x1, x2, atol=0)

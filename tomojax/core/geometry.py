@@ -60,6 +60,8 @@ class Geometry:
     vox_pix: tuple = (1.0, 1.0, 1.0)
     det_pix: tuple = (1.0, 1.0)
     step_size: float = 1.0
+    vox_ds: tuple = (1.0, 1.0, 1.0)  # voxel downsampling for the voxel path
+    #                                  (reference ``geometry.py:32``)
 
     def __post_init__(self):
         object.__setattr__(self, "n_proj", int(self.n_proj))
@@ -68,6 +70,7 @@ class Geometry:
         object.__setattr__(self, "vox_pix", _as_tuple(self.vox_pix, 3, float))
         object.__setattr__(self, "det_pix", _as_tuple(self.det_pix, 2, float))
         object.__setattr__(self, "step_size", float(self.step_size))
+        object.__setattr__(self, "vox_ds", _as_tuple(self.vox_ds, 3, float))
 
     # ---- static scalar properties -------------------------------------
     @property

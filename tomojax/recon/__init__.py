@@ -1,0 +1,12 @@
+from tomojax.recon.cgls import cgls, CGLSResult
+from tomojax.recon.sirt import sirt, SIRTResult
+from tomojax.recon.tikhonov import tikhonov_gd, TikhonovResult
+from tomojax.recon.lasso import lasso_ista, lasso_fista, LassoResult
+from tomojax.recon.fista_tv import fista_tv, FistaTVResult
+from tomojax.recon import tv
+
+__all__ = [
+    "cgls", "CGLSResult", "sirt", "SIRTResult", "tikhonov_gd",
+    "TikhonovResult", "lasso_ista", "lasso_fista", "LassoResult",
+    "fista_tv", "FistaTVResult", "tv",
+]
