@@ -1,0 +1,219 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tomojax.core.geometry import Geometry, Views
+from tomojax.core import phantom, projector
+from tomojax.align import cc
+from tomojax.align.refine import (PARAM_SETS, refine_view, refine_views,
+                                  gradient_descent_view, alignment_cost,
+                                  alignment_cost_grad)
+from tomojax.align.pipeline import align_reconstruct, save_checkpoint, \
+    load_checkpoint
+
+F32 = jnp.float32
+
+
+def _test_image(n=64, seed=0):
+    img = phantom.shepp3d(n)[:, n // 2, :].astype(np.float64)
+    return jnp.asarray(img)
+
+
+# ------------------------- phase correlation -------------------------
+
+
+def test_phase_correlation_integer_shift():
+    img = _test_image()
+    shifted = jnp.roll(jnp.roll(img, 3, axis=0), -5, axis=1)
+    shift = cc.phase_cross_correlation(img, shifted)
+    np.testing.assert_allclose(shift, [-3.0, 5.0], atol=1e-6)
+
+
+def test_phase_correlation_subpixel():
+    img = _test_image()
+    true = jnp.asarray([1.25, -2.75])
+    shifted = cc.fourier_shift(img, -true)  # move by -true; registering back
+    shift = cc.phase_cross_correlation(img, shifted, upsample_factor=100)
+    np.testing.assert_allclose(shift, true, atol=0.05)
+
+
+def test_fourier_shift_matches_roll_for_integers():
+    img = _test_image(32)
+    np.testing.assert_allclose(cc.fourier_shift(img, jnp.asarray([2.0, -1.0])),
+                               jnp.roll(jnp.roll(img, 2, 0), -1, 1),
+                               atol=1e-10)
+
+
+def test_cor_flipping():
+    img = _test_image()
+    c = 1.5  # center-of-rotation offset in px: flipped 180° pair shifts by 2c
+    proj_180 = jnp.fliplr(cc.fourier_shift(img, jnp.asarray([0.0, -2 * c])))
+    got = cc.cor_flipping(img, proj_180)
+    # fliplr flips the sign of the x-shift
+    np.testing.assert_allclose(abs(float(got)), 2 * c, atol=0.1)
+
+
+def test_cross_correlation_chain():
+    img = _test_image()
+    n_views = 5
+    rng = np.random.default_rng(0)
+    true_shifts = rng.uniform(-3, 3, (n_views, 2))
+    true_shifts[0] = 0
+    stack = jnp.stack([cc.fourier_shift(img, jnp.asarray(-s))
+                       for s in true_shifts])
+    offsets, aligned = cc.cross_correlation_chain(stack, upsample_factor=50)
+    # each aligned frame should match the first
+    for i in range(n_views):
+        err = float(jnp.linalg.norm(aligned[i] - img)) / \
+            float(jnp.linalg.norm(img))
+        assert err < 0.05, (i, err)
+
+
+def test_cross_correlation_filtered_integer():
+    img = _test_image()
+    shifts = [(0, 0), (2, -3), (-1, 4)]
+    stack = jnp.stack([jnp.roll(jnp.roll(img, s0, 0), s1, 1)
+                       for (s0, s1) in shifts])
+    offsets, aligned = cc.cross_correlation_filtered(stack)
+    for i in range(1, 3):
+        err = float(jnp.linalg.norm(aligned[i] - img)) / \
+            float(jnp.linalg.norm(img))
+        assert err < 1e-6, (i, err)
+
+
+# ------------------------- 6-DoF refinement -------------------------
+
+
+@pytest.fixture(scope="module")
+def align_problem():
+    n = 16
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    geom = Geometry(n_proj=1, vox_shape=(n, n, n), det_shape=(n, n))
+    return vol, geom
+
+
+def test_refine_view_recovers_parameters(align_problem):
+    vol, geom = align_problem
+    true = jnp.asarray([1.2, 0.0, -0.8, 0.7, 0.012, -0.008], F32)
+    cor = jnp.zeros(3, F32)
+    meas = projector.forward_view(vol, geom, true[3], true[4], true[5],
+                                  true[:3], cor)
+    # start from the unjittered guess (phi known)
+    init = jnp.asarray([0.0, 0.0, 0.0, 0.7, 0.0, 0.0], F32)
+    lo = init + jnp.asarray([-3, -3, -3, 0, -0.02, -0.02], F32)
+    hi = init + jnp.asarray([3, 3, 3, 0, 0.02, 0.02], F32)
+    res = refine_view(vol, meas, geom, init, cor, mask=PARAM_SETS["xzab"],
+                      lower=lo, upper=hi, max_iter=40)
+    got = np.asarray(res.theta6)
+    want = np.asarray(true)
+    assert abs(got[0] - want[0]) < 0.05   # tx
+    assert abs(got[2] - want[2]) < 0.05   # tz
+    assert abs(got[4] - want[4]) < 2e-3   # alpha
+    assert abs(got[5] - want[5]) < 2e-3   # beta
+    assert float(res.cost) < 1e-2 * float(jnp.vdot(meas, meas).real)
+
+
+def test_refine_respects_mask_and_bounds(align_problem):
+    vol, geom = align_problem
+    true = jnp.asarray([1.2, 0.0, -0.8, 0.7, 0.012, -0.008], F32)
+    cor = jnp.zeros(3, F32)
+    meas = projector.forward_view(vol, geom, true[3], true[4], true[5],
+                                  true[:3], cor)
+    init = jnp.asarray([0.0, 0.0, 0.0, 0.7, 0.0, 0.0], F32)
+    res = refine_view(vol, meas, geom, init, cor, mask=PARAM_SETS["xz"],
+                      lower=init - 0.5, upper=init + 0.5, max_iter=20)
+    got = np.asarray(res.theta6)
+    # frozen parameters unchanged
+    assert got[1] == 0.0 and got[3] == pytest.approx(0.7) \
+        and got[4] == 0.0 and got[5] == 0.0
+    # moved parameters respect the ±0.5 box
+    assert -0.5 - 1e-6 <= got[0] <= 0.5 + 1e-6
+    assert -0.5 - 1e-6 <= got[2] <= 0.5 + 1e-6
+
+
+def test_refine_views_batched(align_problem):
+    vol, geom = align_problem
+    n_proj = 4
+    geom4 = Geometry(n_proj=n_proj, vox_shape=geom.vox_shape,
+                     det_shape=geom.det_shape)
+    rng = np.random.default_rng(1)
+    # perturbations within the ~1-voxel attraction basin of the piecewise-
+    # trilinear cost; larger shifts are handled by CC pre-alignment first
+    # (the reference pipeline does the same: align_cc before refinement)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-1.0, 1.0, n_proj)
+    t[:, 2] = rng.uniform(-1.0, 1.0, n_proj)
+    alpha = rng.uniform(-0.01, 0.01, n_proj)
+    beta = rng.uniform(-0.01, 0.01, n_proj)
+    true_views = Views.create(n_proj, alpha=alpha, beta=beta, t=t)
+    meas = projector.project(vol, geom4, true_views)
+    init_views = Views.create(n_proj)  # same phi, zero jitter
+    res = refine_views(vol, meas, geom4, init_views,
+                       mask=PARAM_SETS["xzab"], max_iter=40)
+    got = np.asarray(res.theta6)
+    np.testing.assert_allclose(got[:, 0], t[:, 0], atol=0.1)
+    np.testing.assert_allclose(got[:, 2], t[:, 2], atol=0.1)
+    np.testing.assert_allclose(got[:, 4], alpha, atol=3e-3)
+    np.testing.assert_allclose(got[:, 5], beta, atol=3e-3)
+
+
+def test_gradient_descent_view_reduces_cost(align_problem):
+    vol, geom = align_problem
+    true = jnp.asarray([0.8, 0.0, -0.5, 0.4, 0.0, 0.0], F32)
+    cor = jnp.zeros(3, F32)
+    meas = projector.forward_view(vol, geom, true[3], true[4], true[5],
+                                  true[:3], cor)
+    init = jnp.asarray([0.0, 0.0, 0.0, 0.4, 0.0, 0.0], F32)
+    c0 = alignment_cost(vol, meas, geom, init, cor)
+    res = gradient_descent_view(vol, meas, geom, init, cor,
+                                mask=PARAM_SETS["xz"], max_iter=30)
+    assert float(res.cost) < 0.5 * float(c0)
+
+
+def test_alignment_gradient_consistent(align_problem):
+    vol, geom = align_problem
+    cor = jnp.zeros(3, F32)
+    th = jnp.asarray([0.3, 0.0, -0.2, 0.5, 0.005, -0.003], F32)
+    meas = projector.forward_view(vol, geom, 0.5, 0.0, 0.0,
+                                  jnp.zeros(3, F32), cor)
+    cost, grad, r, jac = alignment_cost_grad(vol, meas, geom, th, cor)
+    g_ad = jax.grad(lambda t: alignment_cost(
+        vol, meas, geom, t, cor))(th)  # uses custom autodiff path? no:
+    # alignment_cost uses forward_view (plain autodiff through the scan)
+    np.testing.assert_allclose(grad, g_ad, rtol=2e-2, atol=2e-4)
+
+
+# ------------------------- pipeline -------------------------
+
+
+def test_align_reconstruct_improves(tmp_path):
+    n = 16
+    n_proj = 24
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    geom = Geometry(n_proj=n_proj, vox_shape=(n, n, n), det_shape=(n, n))
+    rng = np.random.default_rng(2)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-1.0, 1.0, n_proj)
+    t[:, 2] = rng.uniform(-1.0, 1.0, n_proj)
+    true_views = Views.create(n_proj, t=t)
+    meas = projector.project(vol, geom, true_views)
+
+    views0 = Views.create(n_proj)
+    state = align_reconstruct(meas, geom, views0, outer_iters=3,
+                              recon="sirt", recon_iters=40,
+                              param_set="xz", refine_iters=10,
+                              checkpoint_dir=str(tmp_path))
+    got_t = np.asarray(state.views.t)
+    err0 = np.abs(t[:, [0, 2]]).mean()
+    err = np.abs(got_t[:, [0, 2]] - t[:, [0, 2]]).mean()
+    assert err < 0.5 * err0, (err, err0)
+
+    # checkpoints written and resumable
+    ck = load_checkpoint(str(tmp_path / "align_ckpt_0002.npz"))
+    assert ck["iteration"] == 2
+    resumed = align_reconstruct(meas, geom, views0, outer_iters=3,
+                                recon="sirt", recon_iters=40,
+                                param_set="xz", refine_iters=10,
+                                checkpoint_dir=str(tmp_path), resume=True)
+    np.testing.assert_allclose(resumed.views.t, state.views.t, atol=1e-6)

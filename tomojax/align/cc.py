@@ -1,0 +1,193 @@
+"""FFT cross-correlation coarse alignment — batched TPU FFTs.
+
+TPU-native replacement for the reference's ``align/align_cc.py``:
+
+- :func:`phase_cross_correlation` — subpixel registration by upsampled
+  matrix-multiply DFT (Guizar-Sicairos et al., Opt. Lett. 33, 2008); the
+  in-framework replacement for the reference's skimage dependency
+  (``align_cc.py:7``, used at ``:22`` and ``:34``). The upsampled DFT is two
+  small matmuls → MXU-friendly.
+- :func:`cor_flipping` — center-of-rotation from the 0°/180° flipped pair
+  (``align_cc.py:11-24``).
+- :func:`cross_correlation_chain` — sequential pairwise subpixel alignment,
+  each view registered to its *already aligned* predecessor
+  (``align_cc.py:27-38``) — a ``lax.scan`` over views with Fourier-shift
+  resampling (the reference uses ``scipy.ndimage.shift`` spline
+  interpolation; Fourier shift is the exact translation operator for
+  band-limited images and runs on TPU).
+- :func:`cross_correlation_filtered` — the hand-rolled variant with sin²
+  band-pass k-filter, sin² real-space window, integer-pixel shifts via
+  argmax + roll, and the wraparound fix (``align_cc.py:41-86``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _fft2(x):
+    return jnp.fft.fft2(x)
+
+
+def fourier_shift(img, shift):
+    """Shift a 2-D image by (possibly fractional) ``shift`` via the Fourier
+    translation theorem. Exact for integer shifts (≡ jnp.roll)."""
+    ny, nx = img.shape
+    ky = jnp.fft.fftfreq(ny).astype(img.dtype)
+    kx = jnp.fft.fftfreq(nx).astype(img.dtype)
+    phase = jnp.exp(-2j * jnp.pi * (shift[0] * ky[:, None]
+                                    + shift[1] * kx[None, :]))
+    return jnp.real(jnp.fft.ifft2(_fft2(img) * phase))
+
+
+def _upsampled_dft(data, region_size, upsample_factor, offsets):
+    """Matrix-multiply DFT over an upsampled frequency-local region.
+
+    Computes the cross-correlation on a ``region_size × region_size`` grid
+    of spacing ``1/upsample_factor`` centered by ``offsets`` — two small
+    complex matmuls (MXU work) instead of a giant zero-padded FFT.
+    """
+    ny, nx = data.shape
+    ks = [jnp.fft.fftfreq(n) for n in (ny, nx)]
+
+    def kernel(n_points, k, offset):
+        # sample the DFT at spacing 1/upsample_factor around the offset
+        samples = (jnp.arange(n_points) - offset)[:, None] * k[None, :] \
+            / upsample_factor
+        return jnp.exp(-2j * jnp.pi * samples)
+
+    ker_y = kernel(region_size, ks[0], offsets[0])        # (r, ny)
+    ker_x = kernel(region_size, ks[1], offsets[1])        # (r, nx)
+    return jnp.einsum("ry,yx,sx->rs", ker_y, data, ker_x,
+                      precision="highest")
+
+
+def phase_cross_correlation(reference, moving, upsample_factor: int = 1,
+                            normalization: str | None = "phase"):
+    """Subpixel translation registering ``moving`` to ``reference``.
+
+    Returns ``shift (2,)`` such that shifting ``moving`` by ``shift``
+    (rows, cols) aligns it with ``reference`` — the same convention as the
+    skimage function the reference calls (``align_cc.py:22,34``).
+    Jittable and vmappable.
+    """
+    ref_f = _fft2(reference)
+    mov_f = _fft2(moving)
+    prod = ref_f * jnp.conj(mov_f)
+    if normalization == "phase":
+        eps = jnp.finfo(prod.real.dtype).eps
+        prod = prod / jnp.maximum(jnp.abs(prod), 100.0 * eps)
+
+    cc = jnp.fft.ifft2(prod)
+    shape = jnp.asarray(cc.shape)
+    flat_max = jnp.argmax(jnp.abs(cc))
+    maxima = jnp.stack(jnp.unravel_index(flat_max, cc.shape)).astype(
+        ref_f.real.dtype)
+    mid = jnp.asarray([s // 2 for s in cc.shape], dtype=maxima.dtype)
+    shift = jnp.where(maxima > mid, maxima - shape.astype(maxima.dtype),
+                      maxima)
+
+    if upsample_factor == 1:
+        return shift
+
+    # refine on an upsampled local DFT grid (Guizar-Sicairos matrix DFT)
+    u = float(upsample_factor)
+    shift = jnp.round(shift * u) / u
+    region = math.ceil(1.5 * u)
+    dftshift = float(region // 2)
+    offsets = dftshift - shift * u
+    cc_up = _upsampled_dft(jnp.conj(prod), region, u, offsets)
+    flat_max = jnp.argmax(jnp.abs(cc_up))
+    maxima_up = jnp.stack(jnp.unravel_index(flat_max, (region, region))
+                          ).astype(shift.dtype)
+    return shift + (maxima_up - dftshift) / u
+
+
+def cor_flipping(proj_0, proj_180, upsample_factor: int = 16):
+    """Center-of-rotation offset from projections 180° apart: register the
+    0° view against the left-right flipped 180° view and return the
+    horizontal (x) shift (reference ``align_cc.py:11-24``)."""
+    flipped = jnp.fliplr(proj_180)
+    shift = phase_cross_correlation(proj_0, flipped,
+                                    upsample_factor=upsample_factor)
+    return shift[1]
+
+
+def cross_correlation_chain(projections, upsample_factor: int = 100):
+    """Sequentially register each view to its aligned predecessor.
+
+    Returns ``(offsets (n_proj, 2), aligned (n_proj, ny, nx))`` — the
+    reference's ``cross_correlation_skimage`` (``align_cc.py:27-38``) as a
+    ``lax.scan`` (the data dependence is inherently sequential: view i is
+    registered to the *shifted* view i−1). Subpixel shifts are applied by
+    Fourier translation.
+    """
+    projections = jnp.asarray(projections)
+
+    def step(prev_aligned, img):
+        shift = phase_cross_correlation(prev_aligned, img,
+                                        upsample_factor=upsample_factor)
+        aligned = fourier_shift(img, shift)
+        return aligned, (shift, aligned)
+
+    first = projections[0]
+    _, (shifts, aligned) = lax.scan(step, first, projections[1:])
+    offsets = jnp.concatenate([jnp.zeros((1, 2), shifts.dtype), shifts])
+    aligned = jnp.concatenate([first[None], aligned])
+    return offsets, aligned
+
+
+def cross_correlation_filtered(projections, cutoff: int = 4):
+    """Integer-pixel chain alignment with band-pass + window filters.
+
+    The reference's hand-rolled ``cross_correlation_numpy``
+    (``align_cc.py:41-86``): sin² band-pass in k-space (``:48-53``), sin²
+    real-space window (``:56-59``), per-pair integer shift from the argmax
+    of the filtered cross-correlation with ``jnp.roll`` application
+    (``:74-86``), and the final unwrap of shifts > n/2 (``:66-69``).
+    """
+    projections = jnp.asarray(projections)
+    n_proj, nx, nz = projections.shape
+    dtype = projections.dtype
+
+    kx = jnp.fft.fftfreq(nx).astype(dtype)
+    kz = jnp.fft.fftfreq(nz).astype(dtype)
+    KX, KZ = jnp.meshgrid(kx, kz)
+    abs_k = jnp.sqrt(KX**2 + KZ**2)
+    filter_k = jnp.where(abs_k <= 0.5 / cutoff,
+                         jnp.sin(2 * jnp.pi * cutoff * abs_k) ** 2, 0.0)
+
+    x = jnp.linspace(1, nx, nx, dtype=dtype)
+    z = jnp.linspace(1, nz, nz, dtype=dtype)
+    X, Z = jnp.meshgrid(x, z)
+    filter_r = (jnp.sin(jnp.pi * X / nx) * jnp.sin(jnp.pi * Z / nz)) ** 2
+
+    def xcorr_align(img, ref):
+        img_f = _fft2((img - jnp.mean(img)) * filter_r)
+        ref_f = _fft2((ref - jnp.mean(ref)) * filter_r)
+        xcor = jnp.abs(jnp.fft.ifft2(jnp.conj(img_f) * ref_f * filter_k))
+        flat = jnp.argmax(xcor)
+        s0, s1 = jnp.unravel_index(flat, xcor.shape)
+        out = jnp.roll(img, s0, axis=0)
+        out = jnp.roll(out, s1, axis=1)
+        return jnp.stack([s0, s1]).astype(dtype), out
+
+    def step(prev_aligned, img):
+        shift, aligned = xcorr_align(img, prev_aligned)
+        return aligned, (shift, aligned)
+
+    first = projections[0]
+    _, (shifts, aligned) = lax.scan(step, first, projections[1:])
+    offsets = jnp.concatenate([jnp.zeros((1, 2), dtype), shifts])
+    aligned = jnp.concatenate([first[None], aligned])
+
+    # unwrap circular shifts beyond half the image (align_cc.py:66-69)
+    offsets = offsets.at[:, 0].set(
+        jnp.where(offsets[:, 0] > nz / 2, offsets[:, 0] - nz, offsets[:, 0]))
+    offsets = offsets.at[:, 1].set(
+        jnp.where(offsets[:, 1] > nx / 2, offsets[:, 1] - nx, offsets[:, 1]))
+    return offsets, aligned
