@@ -1,0 +1,98 @@
+"""Sharded execution must equal single-device execution bit-for-bit on the
+same math — the automated version of the serial↔MPI equivalence the
+reference leaves implicit (same ProjectionMatrix, never asserted)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tomojax.core.geometry import Geometry, Views
+from tomojax.core.operators import make_operator
+from tomojax.core import phantom
+from tomojax.dist import make_mesh, make_sharded_operator, \
+    sharded_refine_views
+from tomojax.recon import cgls, sirt, fista_tv
+from tomojax.align.refine import refine_views, PARAM_SETS
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def problem():
+    n = 16
+    n_proj = 16
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    geom = Geometry(n_proj=n_proj, vox_shape=(n, n, n), det_shape=(n, n))
+    rng = np.random.default_rng(0)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-1, 1, n_proj)
+    t[:, 2] = rng.uniform(-1, 1, n_proj)
+    views = Views.create(n_proj, alpha=rng.uniform(-0.01, 0.01, n_proj),
+                         beta=rng.uniform(-0.01, 0.01, n_proj), t=t)
+    op = make_operator(geom, views, family="ray", dtype=F32)
+    b = op.A(vol)
+    return vol, geom, views, op, b
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_forward_adjoint_match(problem):
+    vol, geom, views, op, b = problem
+    mesh = make_mesh(8, 1)
+    ops = make_sharded_operator(geom, views, mesh, dtype=F32)
+    np.testing.assert_allclose(ops.A(vol), op.A(vol), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ops.AT(b), op.AT(b), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_2d_mesh_forward_adjoint(problem):
+    vol, geom, views, op, b = problem
+    mesh = make_mesh(4, 2)  # angle x ray sharding
+    ops = make_sharded_operator(geom, views, mesh, dtype=F32)
+    np.testing.assert_allclose(ops.A(vol), op.A(vol), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ops.AT(b), op.AT(b), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_cgls_equals_single(problem):
+    vol, geom, views, op, b = problem
+    mesh = make_mesh(8, 1)
+    ops = make_sharded_operator(geom, views, mesh, dtype=F32)
+    r1 = cgls(op, b, niter=10)
+    r8 = cgls(ops, b, niter=10)
+    np.testing.assert_allclose(r8.x, r1.x, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(r8.convergence, r1.convergence,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_sirt_equals_single(problem):
+    vol, geom, views, op, b = problem
+    mesh = make_mesh(4, 2)
+    ops = make_sharded_operator(geom, views, mesh, dtype=F32)
+    r1 = sirt(op, b, niter=15, positivity=True)
+    r8 = sirt(ops, b, niter=15, positivity=True)
+    np.testing.assert_allclose(r8.x, r1.x, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_fista_tv_runs(problem):
+    # the reference's rank-0 TV-prox + bcast disappears: every shard
+    # computes the prox replicated (regularized_mpi.py:118-137)
+    vol, geom, views, op, b = problem
+    mesh = make_mesh(8, 1)
+    ops = make_sharded_operator(geom, views, mesh, dtype=F32)
+    r = fista_tv(ops, b, niter=5, hyper=None, beta_tv=0.005, niter_tv=5)
+    r1 = fista_tv(op, b, niter=5, hyper=None, beta_tv=0.005, niter_tv=5)
+    np.testing.assert_allclose(r.x, r1.x, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_refine_matches_single(problem):
+    vol, geom, views, op, b = problem
+    mesh = make_mesh(8, 1)
+    init = Views.create(geom.n_proj)
+    theta_s, cost_s = sharded_refine_views(vol, b, geom, init, mesh,
+                                           mask=PARAM_SETS["xz"],
+                                           max_iter=8)
+    res = refine_views(vol, b, geom, init, mask=PARAM_SETS["xz"],
+                       max_iter=8)
+    np.testing.assert_allclose(theta_s, res.theta6, rtol=1e-5, atol=1e-5)

@@ -94,9 +94,16 @@ class _RaySetup(NamedTuple):
 
 
 def _ray_setup(geom: Geometry, phi, alpha, beta, t, cor, dtype,
-               with_jacobian: bool) -> _RaySetup:
+               with_jacobian: bool, ray_offset=None,
+               ray_count: int | None = None) -> _RaySetup:
     src = geom.source_centers(dtype)
     det = geom.det_centers(dtype)
+    if ray_count is not None:
+        # contiguous ray block for detector-sharded execution (dist layer);
+        # offset may be traced (lax.axis_index), count is static
+        off = jnp.asarray(0 if ray_offset is None else ray_offset, jnp.int32)
+        src = lax.dynamic_slice_in_dim(src, off, ray_count, axis=1)
+        det = lax.dynamic_slice_in_dim(det, off, ray_count, axis=1)
     origin = geom.vox_origin(dtype)
     phi = jnp.asarray(phi, dtype)
     alpha = jnp.asarray(alpha, dtype)
@@ -210,7 +217,8 @@ def _corner_weight_gradients(parts):
 
 
 def forward_view(vol, geom: Geometry, phi, alpha, beta, t, cor,
-                 *, dtype=jnp.float32, unroll: int = 1):
+                 *, dtype=jnp.float32, unroll: int = 1, ray_offset=None,
+                 ray_count: int | None = None):
     """Forward-project one view: ``P(theta) · vol`` → ``(n_det,)``.
 
     Exact semantics of the reference chain ``forward_sparse`` →
@@ -218,10 +226,12 @@ def forward_view(vol, geom: Geometry, phi, alpha, beta, t, cor,
     ``ray_wt_grad.f90:1-92``), fused matrix-free: the sparse weights are never
     materialized.
     """
-    setup = _ray_setup(geom, phi, alpha, beta, t, cor, dtype, False)
+    setup = _ray_setup(geom, phi, alpha, beta, t, cor, dtype, False,
+                       ray_offset, ray_count)
     vol_flat = vol.reshape(-1)
     n_steps = geom.n_steps
     step_size = jnp.asarray(geom.step_size, dtype)
+    n_out = geom.n_det if ray_count is None else ray_count
 
     def body(acc, j):
         c = j.astype(dtype) * step_size
@@ -230,20 +240,22 @@ def forward_view(vol, geom: Geometry, phi, alpha, beta, t, cor,
         vals = jnp.take(vol_flat, idx, axis=0)  # (8, R)
         return acc + jnp.sum(w * vals.astype(w.dtype), axis=0), None
 
-    acc0 = jnp.zeros((geom.n_det,), dtype=dtype)
+    acc0 = jnp.zeros((n_out,), dtype=dtype)
     acc, _ = lax.scan(body, acc0, jnp.arange(n_steps), unroll=unroll)
     return acc
 
 
 def backproject_view(det_img, vol_shape, geom: Geometry, phi, alpha, beta, t,
-                     cor, *, dtype=jnp.float32, unroll: int = 1):
+                     cor, *, dtype=jnp.float32, unroll: int = 1,
+                     ray_offset=None, ray_count: int | None = None):
     """Adjoint of :func:`forward_view` for one view: ``P(theta)ᵀ · y``.
 
     Exact transpose by construction: identical sample positions and weights,
     scatter-add instead of gather (replaces the reference's CSR-transpose
     spmv, e.g. ``recon/sirt.py:61``).
     """
-    setup = _ray_setup(geom, phi, alpha, beta, t, cor, dtype, False)
+    setup = _ray_setup(geom, phi, alpha, beta, t, cor, dtype, False,
+                       ray_offset, ray_count)
     n_steps = geom.n_steps
     step_size = jnp.asarray(geom.step_size, dtype)
     y = det_img.astype(dtype)
