@@ -1,0 +1,217 @@
+"""Command-line entry point: ``python -m tomojax.cli <cmd> [...]``.
+
+Subcommands mirror the reference's three driver scripts:
+
+- ``simulate``    → ``examples/generate_data.py`` (phantom → jittered
+  projections → HDF5 dataset)
+- ``reconstruct`` → ``examples/mpi_reconstruct.py`` (choice of solver,
+  optional device-mesh angle sharding instead of MPI)
+- ``align``       → ``examples/align_rigid.py`` (alternating recon ↔
+  per-view 6-DoF refinement, checkpointed)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--config", help="ExperimentConfig json", default=None)
+    p.add_argument("--size", type=int, default=None, help="cubic volume size")
+    p.add_argument("--views", type=int, default=None)
+
+
+def _load_config(args):
+    from tomojax.utils.config import ExperimentConfig
+    cfg = (ExperimentConfig.from_json(args.config) if args.config
+           else ExperimentConfig())
+    if args.size:
+        n = args.size
+        cfg.geometry.vox_shape = (n, n, n)
+        cfg.geometry.det_shape = (n, n)
+    if args.views:
+        cfg.geometry.n_proj = args.views
+    return cfg
+
+
+def cmd_simulate(args):
+    import jax.numpy as jnp
+    from tomojax.core import phantom as ph
+    from tomojax.core.geometry import Views
+    from tomojax.core import projector
+    from tomojax.utils import io
+
+    cfg = _load_config(args)
+    geom = cfg.geometry.build()
+    n = geom.vox_shape[0]
+    rng = np.random.default_rng(cfg.simulate.seed)
+    vol = (ph.shepp3d(geom.vox_shape) if cfg.simulate.phantom == "shepp"
+           else ph.arbitrary_phantom(geom.vox_shape, seed=cfg.simulate.seed))
+
+    n_proj = geom.n_proj
+    phi = np.linspace(0.0, np.pi, n_proj)
+    amax = np.deg2rad(cfg.simulate.max_angle_deg)
+    alpha = rng.uniform(-amax, amax, n_proj)
+    beta = rng.uniform(-amax, amax, n_proj)
+    xyz = np.zeros((n_proj, 3))
+    # motion along the beam (y) does not affect parallel projections —
+    # jitter x and z only (reference generate_data.py:20-23)
+    xyz[:, 0] = rng.uniform(-cfg.simulate.max_shift_px,
+                            cfg.simulate.max_shift_px, n_proj)
+    xyz[:, 2] = rng.uniform(-cfg.simulate.max_shift_px,
+                            cfg.simulate.max_shift_px, n_proj)
+
+    views = Views.create(n_proj, phi=phi, alpha=alpha, beta=beta, t=xyz)
+    proj = projector.project(jnp.asarray(vol), geom, views)
+    io.save_dataset(args.output, projections=np.asarray(proj).reshape(
+        n_proj, *geom.det_shape), phi=phi, alpha=alpha, beta=beta, xyz=xyz,
+        phantom=vol)
+    print(f"wrote {args.output}: {n_proj} views of {geom.det_shape}, "
+          f"volume {geom.vox_shape}")
+
+
+def cmd_reconstruct(args):
+    import jax
+    import jax.numpy as jnp
+    from tomojax.core.geometry import Views
+    from tomojax.core.operators import make_operator
+    from tomojax.utils import io
+    from tomojax import recon
+
+    cfg = _load_config(args)
+    d = io.load_dataset(args.input)
+    n_proj, nu, nv = d["projections"].shape
+    gt = d.get("phantom")
+    nx, ny, nz = (gt.shape if gt is not None
+                  else (nu, nu, nv))
+    from tomojax.core.geometry import Geometry
+    geom = Geometry(n_proj=n_proj, vox_shape=(nx, ny, nz),
+                    det_shape=(nu, nv))
+    views = io.views_from_dataset(d)
+    b = jnp.asarray(d["projections"].reshape(n_proj, -1))
+
+    if args.shard and len(jax.devices()) > 1:
+        from tomojax.dist import make_mesh, make_sharded_operator
+        mesh = make_mesh()
+        op = make_sharded_operator(geom, views, mesh)
+        print(f"angle-sharded over {mesh.shape}")
+    else:
+        op = make_operator(geom, views, family=cfg.solver.family)
+
+    m = cfg.solver.method
+    if m == "sirt":
+        res = recon.sirt(op, b, niter=cfg.solver.niter,
+                         positivity=cfg.solver.positivity, ground_truth=gt)
+    elif m == "cgls":
+        res = recon.cgls(op, b, niter=cfg.solver.niter, ground_truth=gt)
+    elif m == "tikhonov":
+        res = recon.tikhonov_gd(op, b, niter=cfg.solver.niter,
+                                reg_param=cfg.solver.reg_param,
+                                positivity=cfg.solver.positivity,
+                                ground_truth=gt)
+    elif m == "lasso":
+        res = recon.lasso_fista(op, b, niter=cfg.solver.niter,
+                                reg_param=cfg.solver.reg_param,
+                                ground_truth=gt)
+    elif m == "fista_tv":
+        res = recon.fista_tv(op, b, niter=cfg.solver.niter,
+                             hyper=cfg.solver.hyper,
+                             beta_tv=cfg.solver.beta_tv,
+                             niter_tv=cfg.solver.niter_tv, ground_truth=gt)
+    else:
+        sys.exit(f"unknown solver {m}")
+
+    k = int(res.n_iter)
+    print(f"{m}: {k} iterations, final rms {float(res.rms_error[k-1]):.5f}")
+    io.save_volume(args.output, res.x)
+    print(f"wrote {args.output}")
+
+
+def cmd_align(args):
+    import jax.numpy as jnp
+    from tomojax.core.geometry import Geometry, Views
+    from tomojax.align import align_reconstruct, cross_correlation_chain
+    from tomojax.utils import io
+
+    cfg = _load_config(args)
+    d = io.load_dataset(args.input)
+    n_proj, nu, nv = d["projections"].shape
+    gt = d.get("phantom")
+    nx, ny, nz = gt.shape if gt is not None else (nu, nu, nv)
+    geom = Geometry(n_proj=n_proj, vox_shape=(nx, ny, nz),
+                    det_shape=(nu, nv))
+    proj = jnp.asarray(d["projections"], dtype=jnp.float32)
+
+    views0 = Views.create(n_proj, phi=d["phi"])  # phi known, jitter unknown
+
+    if cfg.align.pre_align_cc:
+        offsets, _ = cross_correlation_chain(proj)
+        t0 = np.zeros((n_proj, 3), np.float32)
+        # detector (u, v) ≡ volume (x, z); offsets are (row=u, col=v)
+        t0[:, 0] = -np.asarray(offsets)[:, 0]
+        t0[:, 2] = -np.asarray(offsets)[:, 1]
+        views0 = Views.create(n_proj, phi=d["phi"], t=t0)
+        print("CC pre-alignment applied")
+
+    a = cfg.align
+    bounds_lo = np.array([-a.bound_trans, -a.bound_trans, -a.bound_trans,
+                          0.0, -a.bound_angle, -a.bound_angle], np.float32)
+    bounds_hi = -bounds_lo
+    state = align_reconstruct(
+        proj.reshape(n_proj, -1), geom, views0, outer_iters=a.outer_iters,
+        recon=a.recon, recon_iters=a.recon_iters, positivity=a.positivity,
+        param_set=a.param_set, refine_iters=a.refine_iters,
+        bounds=(bounds_lo, bounds_hi), ground_truth=gt,
+        checkpoint_dir=a.checkpoint_dir, verbose=True)
+
+    io.save_volume(args.output, state.volume)
+    # report recovered vs true parameters when ground truth present
+    if "xyz" in d:
+        tx_err = np.abs(np.asarray(state.views.t)[:, 0] - d["xyz"][:, 0])
+        tz_err = np.abs(np.asarray(state.views.t)[:, 2] - d["xyz"][:, 2])
+        a_err = np.abs(np.asarray(state.views.alpha) - d["alpha"])
+        b_err = np.abs(np.asarray(state.views.beta) - d["beta"])
+        print(f"param errors: tx {tx_err.mean():.4f} tz {tz_err.mean():.4f} "
+              f"alpha {a_err.mean():.5f} beta {b_err.mean():.5f}")
+    print(f"wrote {args.output}")
+
+
+def main(argv=None):
+    import os
+    if os.environ.get("TOMOJAX_PLATFORM"):
+        # must win over the site-hook's early jax import; config.update works
+        # until the first backend initialization
+        import jax
+        jax.config.update("jax_platforms", os.environ["TOMOJAX_PLATFORM"])
+
+    ap = argparse.ArgumentParser(prog="tomojax")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("simulate", help="phantom → jittered projections")
+    _add_common(p)
+    p.add_argument("--output", "-o", required=True)
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("reconstruct", help="iterative reconstruction")
+    _add_common(p)
+    p.add_argument("--input", "-i", required=True)
+    p.add_argument("--output", "-o", required=True)
+    p.add_argument("--shard", action="store_true",
+                   help="angle-shard over all devices")
+    p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("align", help="joint alignment + reconstruction")
+    _add_common(p)
+    p.add_argument("--input", "-i", required=True)
+    p.add_argument("--output", "-o", required=True)
+    p.set_defaults(fn=cmd_align)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
