@@ -1,0 +1,95 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tomojax.core.geometry import Geometry, Views
+from tomojax.core import projector as exact
+from tomojax.core import fast_projector as fast
+from tomojax.core import phantom
+from tomojax.core.operators import make_operator
+from tomojax.recon import cgls
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module")
+def vol32():
+    return jnp.asarray(phantom.shepp3d(32).astype(np.float32))
+
+
+def _one_view(phi, alpha=0.0, beta=0.0, tx=0.0, tz=0.0):
+    return Views.create(1, phi=np.array([phi]), alpha=np.array([alpha]),
+                        beta=np.array([beta]), t=np.array([[tx, 0.0, tz]]))
+
+
+def test_fast_matches_exact_at_cardinal_angles(vol32):
+    geom = Geometry(n_proj=1, vox_shape=(32,) * 3, det_shape=(32, 32))
+    for phi in [0.0, np.pi / 2, np.pi]:
+        v = _one_view(phi)
+        e = np.asarray(exact.project(vol32, geom, v))
+        f = np.asarray(fast.project(vol32, geom, v))
+        rel = np.linalg.norm(e - f) / np.linalg.norm(e)
+        assert rel < 1e-3, (phi, rel)
+
+
+def test_fast_close_to_exact_all_octants(vol32):
+    geom = Geometry(n_proj=1, vox_shape=(32,) * 3, det_shape=(32, 32))
+    for phi in [0.3, 1.0, 1.57, 2.4, 3.0]:
+        v = _one_view(phi, alpha=0.01, beta=-0.008, tx=0.7, tz=-0.4)
+        e = np.asarray(exact.project(vol32, geom, v))
+        f = np.asarray(fast.project(vol32, geom, v))
+        rel = np.linalg.norm(e - f) / np.linalg.norm(e)
+        mass = abs(f.sum() / e.sum() - 1.0)
+        assert rel < 0.08, (phi, rel)
+        assert mass < 0.01, (phi, mass)
+
+
+def test_fast_adjoint_dot_product(vol32):
+    geom = Geometry(n_proj=4, vox_shape=(32,) * 3, det_shape=(32, 32))
+    rng = np.random.default_rng(0)
+    views = Views.create(4, alpha=rng.uniform(-0.01, 0.01, 4),
+                         beta=rng.uniform(-0.01, 0.01, 4))
+    y = jnp.asarray(rng.random((4, geom.n_det)), dtype=F32)
+    ax = fast.project(vol32, geom, views)
+    aty = fast.backproject(y, geom, views)
+    lhs = float(jnp.vdot(ax, y))
+    rhs = float(jnp.vdot(vol32, aty))
+    assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
+
+
+def test_fast_family_cgls_reconstructs(vol32):
+    n_proj = 36
+    geom = Geometry(n_proj=n_proj, vox_shape=(32,) * 3, det_shape=(32, 32))
+    views = Views.create(n_proj)
+    op = make_operator(geom, views, family="fast", dtype=F32)
+    b = op.A(vol32)
+    # the multi-pass operator is smoother than the direct-trilinear one, so
+    # CG on its normal equations converges more slowly on a sharp phantom
+    res = cgls(op, b, niter=60)
+    rel = float(jnp.linalg.norm(res.x - vol32) / jnp.linalg.norm(vol32))
+    assert rel < 0.3, rel
+    conv = np.asarray(res.convergence)[: int(res.n_iter)]
+    assert conv[-1] < 2e-2 * conv[0]
+
+
+def test_fast_differentiable_wrt_theta(vol32):
+    # autodiff through the fast forward gives usable 6-DoF gradients
+    geom = Geometry(n_proj=1, vox_shape=(32,) * 3, det_shape=(32, 32))
+    v = _one_view(0.6, alpha=0.005, beta=-0.004, tx=0.4, tz=-0.3)
+    meas = fast.forward_view(vol32, geom, v.phi[0], v.alpha[0], v.beta[0],
+                             v.t[0], v.cor[0])
+
+    def loss(theta):
+        pred = fast.forward_view(vol32, geom, theta[3], theta[4], theta[5],
+                                 theta[:3], v.cor[0])
+        return 0.5 * jnp.sum((pred - meas) ** 2)
+
+    theta0 = jnp.asarray([0.0, 0.0, 0.0, 0.6, 0.0, 0.0], F32)
+    g = jax.grad(loss)(theta0)
+    assert jnp.isfinite(g).all()
+    # finite-difference check on tx
+    eps = 1e-3
+    dp = jnp.zeros(6, F32).at[0].set(eps)
+    fd = (loss(theta0 + dp) - loss(theta0 - dp)) / (2 * eps)
+    assert abs(float(g[0] - fd)) < 0.05 * max(abs(float(fd)), 1.0)

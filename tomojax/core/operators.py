@@ -7,14 +7,19 @@ Fills the role of the reference's scipy CSR system matrix
 ``cgls.py:52``): solvers program against ``TomoOperator`` and never see how
 A is applied.
 
-Two projector families (reference mixes them too, §2.1 of SURVEY):
+Three projector families (the reference itself mixes two discretizations,
+§2.1 of SURVEY):
 
 - ``family="ray"``   — ray-driven trilinear forward (gather) with its exact
   scatter transpose (``ray_wt_grad.f90`` semantics). Exact adjoint pair →
-  safe for CGLS.
+  safe for CGLS. The bit-parity/oracle path.
 - ``family="voxel"`` — voxel-driven bilinear splat forward with its exact
   gather transpose (``vox_wt_grad.f90`` semantics). The adjoint is
   gather-based (TPU-friendly backprojection).
+- ``family="fast"``  — multi-pass resampling formulation of the ray
+  transform (line-gathers + MXU banded matmuls, ``fast_projector.py``);
+  ~2-3 orders of magnitude faster than "ray" on TPU, ≲ few % discretization
+  difference. Exact transpose via ``jax.linear_transpose``.
 
 ``voxel_mask`` reproduces the reference's masked system matrix
 (``projection_operators.py:60-70``): masked voxels contribute nothing to A
@@ -87,6 +92,22 @@ def make_operator(geom: Geometry, views: Views, *, family: str = "ray",
             out = ray.backproject(y.reshape(geom.n_proj, geom.n_det),
                                   geom.vox_shape, geom, views, dtype=dtype,
                                   views_chunk=views_chunk)
+            return out * mask if mask is not None else out
+
+    elif family == "fast":
+        from tomojax.core import fast_projector as fastp
+
+        def A(x):
+            x = x.reshape(geom.vox_shape).astype(dtype)
+            if mask is not None:
+                x = x * mask
+            return fastp.project(x, geom, views, dtype=dtype,
+                                 views_chunk=views_chunk)
+
+        def AT(y):
+            out = fastp.backproject(y.reshape(geom.n_proj, geom.n_det),
+                                    geom, views, dtype=dtype,
+                                    views_chunk=views_chunk)
             return out * mask if mask is not None else out
 
     elif family == "voxel":
