@@ -43,8 +43,15 @@ class CGLSResult(NamedTuple):
 
 
 def cgls(op: TomoOperator, b, *, niter: int = 100, x0=None,
-         ground_truth=None) -> CGLSResult:
-    """Run CGLS on ``min_x ‖A x − b‖``. Jittable end to end."""
+         ground_truth=None, reinit_tol: float = 0.0) -> CGLSResult:
+    """Run CGLS on ``min_x ‖A x − b‖``. Jittable end to end.
+
+    :param reinit_tol: relative slack on the divergence guard — re-initialize
+        only when ``conv_k > (1 + reinit_tol) * conv_{k-1}``. The reference
+        uses 0 (any increase, ``cgls.py:60``); a small value (1e-3) makes the
+        guard robust to reduced-precision operators (e.g. the fast family's
+        bf16x3 matmuls on TPU).
+    """
     dtype = op.dtype
     b = jnp.asarray(b, dtype).reshape(op.geom.n_proj, op.geom.n_det)
     x = (jnp.zeros(op.vol_shape, dtype) if x0 is None
@@ -73,7 +80,7 @@ def cgls(op: TomoOperator, b, *, niter: int = 100, x0=None,
         conv_k = jnp.linalg.norm(r_new).astype(dtype)
 
         prev_conv = c["conv"][jnp.maximum(k - 1, 0)]
-        worse = (k > 0) & (conv_k > prev_conv)
+        worse = (k > 0) & (conv_k > (1.0 + reinit_tol) * prev_conv)
         consecutive = c["reinit_iter"] + 1 == k
 
         stop = jnp.where(worse & consecutive, 2, 0).astype(jnp.int32)
