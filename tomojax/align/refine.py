@@ -74,6 +74,30 @@ def alignment_cost_grad(vol, proj_meas, geom: Geometry, theta6, cor,
     return cost, grad, r, jac
 
 
+def fd_gradient(vol, proj_meas, geom: Geometry, theta6, cor, *, mask=None,
+                eps: float = 1e-4, dtype=jnp.float32):
+    """Central-difference gradient of the alignment cost over the masked
+    parameters — the formalized version of the reference's ad-hoc checkers
+    ``gradient_xz_fd`` / ``gradient_ab_fd``
+    (``alignment_functions.py:225-241,424-445``). For validating the
+    analytic Jacobian path; not for production optimization."""
+    if mask is None:
+        mask = PARAM_SETS["xzab"]
+    theta6 = jnp.asarray(theta6, dtype)
+
+    def cost(th):
+        return alignment_cost(vol, proj_meas, geom, th, cor, dtype=dtype)
+
+    grads = []
+    for p in range(6):
+        if not bool(mask[p]):
+            grads.append(jnp.asarray(0.0, dtype))
+            continue
+        dp = jnp.zeros(6, dtype).at[p].set(eps)
+        grads.append((cost(theta6 + dp) - cost(theta6 - dp)) / (2 * eps))
+    return jnp.stack(grads)
+
+
 class RefineResult(NamedTuple):
     theta6: jnp.ndarray   # refined absolute 6-DoF parameters
     cost: jnp.ndarray     # final ½‖residual‖²
@@ -166,12 +190,13 @@ def refine_views(vol, projections, geom: Geometry, views, *, mask=None,
 
 def gradient_descent_view(vol, proj_meas, geom: Geometry, theta6_init, cor,
                           *, mask=None, max_iter: int = 100, eps: float = 1e-6,
+                          step_search: str = "armijo",
                           dtype=jnp.float32) -> RefineResult:
-    """Plain gradient descent with Armijo backtracking and the reference's
-    brute 10×-backoff fallback (``gradient_descent``,
-    ``alignment_functions.py:40-110``): two consecutive brute line searches
-    abort the optimization."""
-    from tomojax.recon.linesearch import armijo, brute_backoff
+    """Plain gradient descent with Armijo (or Wolfe) backtracking and the
+    reference's brute 10×-backoff fallback (``gradient_descent``,
+    ``alignment_functions.py:40-110``, ``step_search`` option at ``:43``):
+    two consecutive brute line searches abort the optimization."""
+    from tomojax.recon.linesearch import armijo, wolfe, brute_backoff
 
     if mask is None:
         mask = PARAM_SETS["xzab"]
@@ -193,7 +218,10 @@ def gradient_descent_view(vol, proj_meas, geom: Geometry, theta6_init, cor,
         th, it = c["theta"], c["it"]
         f0 = c["cost"]
         g = grad_fn(th)
-        ls = armijo(cost_fn, th, -g, g, f0, alpha0=1.0)
+        if step_search == "wolfe":
+            ls = wolfe(cost_fn, grad_fn, th, -g, g, f0, alpha0=1.0)
+        else:
+            ls = armijo(cost_fn, th, -g, g, f0, alpha0=1.0)
 
         def on_success(_):
             # ls_counter is cumulative in the reference (never reset,
