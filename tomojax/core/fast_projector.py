@@ -43,6 +43,22 @@ from tomojax.core.rotations import rot_x, rot_y, rot_z
 from tomojax.core.projector import _mm
 
 
+def _use_pallas(n_minor: int, dtype) -> bool:
+    """Route the resample primitive through the Pallas kernel on TPU.
+
+    The kernel needs 128-multiple minor dims and f32; set
+    ``TOMOJAX_NO_PALLAS=1`` to force the XLA fallback (e.g. for A/B
+    comparisons)."""
+    import os
+    if os.environ.get("TOMOJAX_NO_PALLAS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu" and n_minor % 128 == 0 and dtype == jnp.float32
+
+
 def _band_precision():
     """Precision for the banded selection matmuls.
 
@@ -116,6 +132,14 @@ def _resample_minor(arr, offsets, slope, m_out: int, max_slope: float):
     """
     A, Bc, N = arr.shape
     dtype = arr.dtype
+
+    if _use_pallas(N, dtype):
+        from tomojax.kernels.resample import resample_rows_pallas
+        out = resample_rows_pallas(arr.reshape(A * Bc, N),
+                                   offsets.reshape(-1).astype(dtype),
+                                   jnp.asarray(slope, dtype), m_out,
+                                   max_slope)
+        return out.reshape(A, Bc, m_out)
 
     # chunk the output so each window stays near the data length
     max_chunk = max(int((N + 2) / max(max_slope, 1e-6)), 16)
