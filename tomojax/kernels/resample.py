@@ -77,7 +77,8 @@ def _kernel(off_ref, sl_ref, arr_ref, out_ref, *, n_data, m_out, chunk,
         reps = -(-n_win // n)
         rows = []
         for r in range(R):
-            shift = lax.rem(lax.rem(-k[r], n) + n, n)  # (-k) mod n ∈ [0, n)
+            ni = jnp.int32(n)
+            shift = lax.rem(lax.rem(-k[r], ni) + ni, ni)  # (-k) mod n
             rolled = pltpu.roll(arr_ref[r:r + 1, :], shift, axis=1)
             if reps > 1:
                 rolled = jnp.concatenate([rolled] * reps, axis=1)
@@ -147,7 +148,8 @@ def _kernel_bwd(off_ref, sl_ref, arr_ref, g_ref, abar_ref, obar_ref,
         reps = -(-n_win // n)
         rows = []
         for r in range(R):
-            shift = lax.rem(lax.rem(-k[r], n) + n, n)
+            ni = jnp.int32(n)
+            shift = lax.rem(lax.rem(-k[r], ni) + ni, ni)
             rolled = pltpu.roll(arr_ref[r:r + 1, :], shift, axis=1)
             if reps > 1:
                 rolled = jnp.concatenate([rolled] * reps, axis=1)
@@ -194,7 +196,8 @@ def _kernel_bwd(off_ref, sl_ref, arr_ref, g_ref, abar_ref, obar_ref,
             wbar = wbar[:, :n] if wbar.shape[1] == n else \
                 jnp.pad(wbar, ((0, 0), (0, n - wbar.shape[1])))
         for r in range(R):
-            inv_shift = lax.rem(lax.rem(k[r], n) + n, n)  # +k mod n
+            ni = jnp.int32(n)
+            inv_shift = lax.rem(lax.rem(k[r], ni) + ni, ni)  # +k mod n
             abar_ref[r:r + 1, :] += pltpu.roll(wbar[r:r + 1, :], inv_shift,
                                                axis=1)
 
