@@ -52,26 +52,36 @@ def main():
     views = Views.create(n_proj, alpha=rng.uniform(-0.017, 0.017, n_proj),
                          beta=rng.uniform(-0.017, 0.017, n_proj), t=t)
 
-    fwd = jax.jit(lambda v: projector.project(v, geom, views))
-    adj = jax.jit(lambda y: projector.backproject(y, geom.vox_shape, geom,
-                                                  views))
+    family = os.environ.get("TOMOJAX_BENCH_FAMILY", "fast")
+    if family == "fast":
+        from tomojax.core import fast_projector as fp
+        fwd = jax.jit(lambda v: fp.project(v, geom, views))
+        adj = jax.jit(lambda y: fp.backproject(y, geom, views))
+    else:
+        fwd = jax.jit(lambda v: projector.project(v, geom, views))
+        adj = jax.jit(lambda y: projector.backproject(y, geom.vox_shape,
+                                                      geom, views))
 
     sino = fwd(vol)
     sino.block_until_ready()
     back = adj(sino)
     back.block_until_ready()
 
+    # chain iterations through a data dependency: the runtime caches
+    # repeated executions with identical arguments
     t0 = time.perf_counter()
+    x = vol
     for _ in range(reps):
-        sino = fwd(vol)
+        sino = fwd(x)
         back = adj(sino)
+        x = vol + 1e-30 * back
     jax.block_until_ready((sino, back))
     dt = time.perf_counter() - t0
 
     proj_per_s = reps * n_proj / dt
     print(json.dumps({
         "metric": f"projections/sec, {n}^3 volume fwd+adjoint "
-                  f"({n_proj} views, ray-driven matrix-free)",
+                  f"({n_proj} views, {family} matrix-free projector)",
         "value": round(proj_per_s, 3),
         "unit": "proj/s",
         "vs_baseline": round(proj_per_s / REFERENCE_CPU_PROJ_PER_S, 3),
