@@ -217,3 +217,21 @@ def test_align_reconstruct_improves(tmp_path):
                                 param_set="xz", refine_iters=10,
                                 checkpoint_dir=str(tmp_path), resume=True)
     np.testing.assert_allclose(resumed.views.t, state.views.t, atol=1e-6)
+
+
+def test_fast_family_gradient_descent(align_problem):
+    # fast-family refinement: gradients flow through the custom-vjp
+    # multi-pass projector
+    from tomojax.core import fast_projector as fastp
+    vol, geom = align_problem
+    cor = jnp.zeros(3, F32)
+    true = jnp.asarray([0.8, 0.0, -0.5, 0.6, 0.0, 0.0], F32)
+    meas = fastp.forward_view(vol, geom, true[3], true[4], true[5],
+                              true[:3], cor)
+    init = jnp.asarray([0.0, 0.0, 0.0, 0.6, 0.0, 0.0], F32)
+    res = gradient_descent_view(vol, meas, geom, init, cor,
+                                mask=PARAM_SETS["xz"], max_iter=40,
+                                family="fast")
+    got = np.asarray(res.theta6)
+    assert abs(got[0] - 0.8) < 0.05
+    assert abs(got[2] + 0.5) < 0.05

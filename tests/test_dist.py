@@ -96,3 +96,17 @@ def test_sharded_refine_matches_single(problem):
     res = refine_views(vol, b, geom, init, mask=PARAM_SETS["xz"],
                        max_iter=8)
     np.testing.assert_allclose(theta_s, res.theta6, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_fast_family_matches_single(problem):
+    vol, geom, views, op, b = problem
+    from tomojax.core.operators import make_operator as mk
+    mesh = make_mesh(8, 1)
+    ops = make_sharded_operator(geom, views, mesh, family="fast")
+    op1 = mk(geom, views, family="fast")
+    a1 = op1.A(vol)
+    a8 = ops.A(vol)
+    np.testing.assert_allclose(a8, a1, rtol=2e-5, atol=2e-5)
+    b1 = op1.AT(a1)
+    b8 = ops.AT(a1)
+    np.testing.assert_allclose(b8, b1, rtol=2e-4, atol=2e-4)

@@ -54,6 +54,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       recon_iters: int = 100, positivity: bool = True,
                       param_set: str = "xzab", refine_iters: int = 12,
                       bounds=None, ground_truth=None, dtype=jnp.float32,
+                      family: str = "ray",
                       checkpoint_dir: str | None = None,
                       resume: bool = True, verbose: bool = False,
                       callback=None) -> AlignState:
@@ -65,6 +66,9 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         jitter estimates).
     :param recon: "sirt" (reference default) or "cgls".
     :param param_set: which 6-DoF subset to refine (keys of PARAM_SETS).
+    :param family: projector family for the reconstruction stage
+        ("ray" exact / "fast" multi-pass / "voxel"); refinement always uses
+        the exact analytic-Jacobian path.
     :param checkpoint_dir: if set, write ``align_ckpt_####.npz`` per outer
         iteration and resume from the latest on restart.
     :returns: final :class:`AlignState`.
@@ -100,7 +104,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
     theta_init = views0.theta6().astype(dtype)
 
     for it in range(start_iter, outer_iters):
-        op = make_operator(geom, views, family="ray", dtype=dtype)
+        op = make_operator(geom, views, family=family, dtype=dtype)
         if recon == "sirt":
             r = _sirt(op, projections, niter=recon_iters,
                       positivity=positivity, x0=volume,

@@ -50,12 +50,21 @@ PARAM_SETS = {
 
 
 def alignment_cost(vol, proj_meas, geom: Geometry, theta6, cor,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, family: str = "ray"):
     """½‖P(θ)x − p‖² for one view (the reference's scalar cost,
     ``alignment_functions.py:16-25`` with ``0.5‖·‖²`` applied by each
-    wrapper)."""
-    pred = projector.forward_view(vol, geom, theta6[3], theta6[4], theta6[5],
-                                  theta6[:3], cor, dtype=dtype)
+    wrapper). ``family="fast"`` projects with the multi-pass family — its
+    θ-gradients flow through the custom-vjp Pallas kernels, making
+    gradient-based refinement usable at large volume sizes."""
+    if family == "fast":
+        from tomojax.core import fast_projector as fastp
+        pred = fastp.forward_view(vol, geom, theta6[3], theta6[4],
+                                  theta6[5], theta6[:3], cor, dtype=dtype,
+                                  swapped=None)
+    else:
+        pred = projector.forward_view(vol, geom, theta6[3], theta6[4],
+                                      theta6[5], theta6[:3], cor,
+                                      dtype=dtype)
     r = pred - proj_meas.reshape(-1).astype(pred.dtype)
     return 0.5 * jnp.vdot(r, r).real.astype(pred.dtype)
 
@@ -190,7 +199,7 @@ def refine_views(vol, projections, geom: Geometry, views, *, mask=None,
 
 def gradient_descent_view(vol, proj_meas, geom: Geometry, theta6_init, cor,
                           *, mask=None, max_iter: int = 100, eps: float = 1e-6,
-                          step_search: str = "armijo",
+                          step_search: str = "armijo", family: str = "ray",
                           dtype=jnp.float32) -> RefineResult:
     """Plain gradient descent with Armijo (or Wolfe) backtracking and the
     reference's brute 10×-backoff fallback (``gradient_descent``,
@@ -204,12 +213,21 @@ def gradient_descent_view(vol, proj_meas, geom: Geometry, theta6_init, cor,
     theta0 = jnp.asarray(theta6_init, dtype)
 
     def cost_fn(th):
-        return alignment_cost(vol, proj_meas, geom, th, cor, dtype=dtype)
+        return alignment_cost(vol, proj_meas, geom, th, cor, dtype=dtype,
+                              family=family)
 
-    def grad_fn(th):
-        _, grad, _, _ = alignment_cost_grad(vol, proj_meas, geom, th, cor,
-                                            dtype=dtype)
-        return grad * mask_f
+    if family == "fast":
+        # the fast family has no explicit Jacobian kernel; use reverse-mode
+        # through the custom-vjp multi-pass projector
+        _raw_grad = jax.grad(cost_fn)
+
+        def grad_fn(th):
+            return _raw_grad(th) * mask_f
+    else:
+        def grad_fn(th):
+            _, grad, _, _ = alignment_cost_grad(vol, proj_meas, geom, th,
+                                                cor, dtype=dtype)
+            return grad * mask_f
 
     def cond(c):
         return (c["it"] < max_iter) & (c["stop"] == 0)

@@ -56,16 +56,59 @@ def shard_views(views: Views, mesh: Mesh) -> Views:
 
 
 def make_sharded_operator(geom: Geometry, views: Views, mesh: Mesh, *,
-                          dtype=jnp.float32, views_chunk: int | None = None
-                          ) -> TomoOperator:
+                          dtype=jnp.float32, views_chunk: int | None = None,
+                          family: str = "ray") -> TomoOperator:
     """Angle(+ray)-sharded matrix-free operator with the reference's MPI
     semantics mapped to XLA collectives. ``n_proj`` must divide the ``proj``
-    axis size and ``n_det`` the ``ray`` axis size."""
+    axis size and ``n_det`` the ``ray`` axis size.
+
+    ``family="fast"`` shards the multi-pass projector over ``proj`` only
+    (the detector is produced whole per view; use ``n_ray_shards=1``).
+    """
     n_pshard = mesh.shape["proj"]
     n_rshard = mesh.shape["ray"]
     assert geom.n_proj % n_pshard == 0, (geom.n_proj, n_pshard)
     assert geom.n_det % n_rshard == 0, (geom.n_det, n_rshard)
     ray_count = geom.n_det // n_rshard
+
+    if family == "fast":
+        assert n_rshard == 1, "fast family shards over 'proj' only"
+        from tomojax.core import fast_projector as fastp
+
+        # views are traced inside shard_map, so the host-side octant
+        # grouping is unavailable — use the in-graph lax.cond variant
+        # (both octant branches execute under vmap; ~2× forward cost)
+        def _one(vol, vv):
+            return fastp.forward_view(vol, geom, vv.phi, vv.alpha, vv.beta,
+                                      vv.t, vv.cor, dtype=dtype,
+                                      swapped=None)
+
+        def _fwd_local(vol, v: Views):
+            return jax.vmap(lambda vv: _one(vol, vv))(v)
+
+        def _adj_local(y, v: Views):
+            _, vjp_fn = jax.vjp(lambda vol: _fwd_local(vol, v),
+                                jnp.zeros(geom.vox_shape, dtype))
+            (local,) = vjp_fn(y)
+            return lax.psum(local, ("proj", "ray"))
+
+        vspec_f = Views(phi=P("proj"), alpha=P("proj"), beta=P("proj"),
+                        t=P("proj"), cor=P("proj"))
+        A_f = shard_map(_fwd_local, mesh=mesh, in_specs=(P(), vspec_f),
+                        out_specs=P("proj"), check_vma=False)
+        AT_f = shard_map(_adj_local, mesh=mesh,
+                         in_specs=(P("proj"), vspec_f), out_specs=P(),
+                         check_vma=False)
+
+        def A_fn(x):
+            return A_f(x.reshape(geom.vox_shape).astype(dtype), views)
+
+        def AT_fn(y):
+            return AT_f(y.reshape(geom.n_proj, geom.n_det).astype(dtype),
+                        views)
+
+        return TomoOperator(geom=geom, views=views, A=A_fn, AT=AT_fn,
+                            family="fast-sharded", dtype=dtype)
 
     def _local_forward(vol, v: Views):
         """Forward for this shard's views over this shard's rays."""
