@@ -133,3 +133,19 @@ def test_solver_jits(problem):
     x1 = f(b)
     x2 = f(b + 0.0)
     np.testing.assert_allclose(x1, x2, atol=0)
+
+
+def test_voxel_mask(problem):
+    # masked voxels contribute nothing to A and receive nothing from At
+    # (reference projection_operators.py:60-70)
+    vol, geom, views, op, b = problem
+    mask = np.ones(geom.vox_shape, bool)
+    mask[: geom.vox_shape[0] // 2] = False
+    opm = make_operator(geom, views, family="ray", dtype=F32,
+                        voxel_mask=mask)
+    x = jnp.asarray(vol)
+    am = opm.A(x)
+    masked_vol = jnp.asarray(vol * mask)
+    np.testing.assert_allclose(am, op.A(masked_vol), rtol=1e-6, atol=1e-6)
+    back = opm.AT(b)
+    assert float(jnp.abs(back * jnp.asarray(~mask)).max()) == 0.0

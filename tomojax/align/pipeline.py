@@ -53,6 +53,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       outer_iters: int = 10, recon: str = "sirt",
                       recon_iters: int = 100, positivity: bool = True,
                       param_set: str = "xzab", refine_iters: int = 12,
+                      refine_method: str = "lm",
                       bounds=None, ground_truth=None, dtype=jnp.float32,
                       family: str = "ray",
                       checkpoint_dir: str | None = None,
@@ -67,8 +68,11 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
     :param recon: "sirt" (reference default) or "cgls".
     :param param_set: which 6-DoF subset to refine (keys of PARAM_SETS).
     :param family: projector family for the reconstruction stage
-        ("ray" exact / "fast" multi-pass / "voxel"); refinement always uses
-        the exact analytic-Jacobian path.
+        ("ray" exact / "fast" multi-pass / "voxel").
+    :param refine_method: "lm" — box-constrained Levenberg–Marquardt on the
+        exact analytic Jacobian (reference-equivalent; heavy at ≥256³);
+        "gd_fast" — Armijo gradient descent with reverse-mode gradients
+        through the fast multi-pass projector (production path at scale).
     :param checkpoint_dir: if set, write ``align_ckpt_####.npz`` per outer
         iteration and resume from the latest on restart.
     :returns: final :class:`AlignState`.
@@ -120,10 +124,25 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
 
         lo = theta_init + lo_off
         hi = theta_init + hi_off
-        ref = refine_views(volume, projections, geom, views, mask=mask,
-                           lower=lo, upper=hi, max_iter=refine_iters,
-                           dtype=dtype)
-        views = Views.from_theta6(ref.theta6, cor=views.cor)
+        if refine_method == "gd_fast":
+            import jax
+            from tomojax.align.refine import gradient_descent_view
+
+            def one(th, p, c):
+                return gradient_descent_view(volume, p, geom, th, c,
+                                             mask=mask,
+                                             max_iter=refine_iters,
+                                             family="fast", dtype=dtype)
+
+            ref = jax.vmap(one)(views.theta6().astype(dtype), projections,
+                                views.cor)
+            theta = jnp.clip(ref.theta6, lo, hi)
+        else:
+            ref = refine_views(volume, projections, geom, views, mask=mask,
+                               lower=lo, upper=hi, max_iter=refine_iters,
+                               dtype=dtype)
+            theta = ref.theta6
+        views = Views.from_theta6(theta, cor=views.cor)
         cost = float(jnp.sum(ref.cost))
         history["refine_cost"].append(cost)
 
