@@ -128,14 +128,25 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             import jax
             from tomojax.align.refine import gradient_descent_view
 
-            def one(th, p, c):
+            def one(args):
+                th, p, c = args
                 return gradient_descent_view(volume, p, geom, th, c,
                                              mask=mask,
                                              max_iter=refine_iters,
                                              family="fast", dtype=dtype)
 
-            ref = jax.vmap(one)(views.theta6().astype(dtype), projections,
-                                views.cor)
+            # host-loop over view chunks: bounds per-execution device time
+            # and memory (one giant lax.map program at large scales trips
+            # runtime watchdogs and holds all chunk intermediates)
+            n = geom.n_proj
+            chunk = max(1, min(n, (1 << 26) // max(1, geom.n_vox * 4)))
+            fj = jax.jit(jax.vmap(lambda th, p, c: one((th, p, c))))
+            th_all = views.theta6().astype(dtype)
+            parts = []
+            for i0 in range(0, n, chunk):
+                sl = slice(i0, min(i0 + chunk, n))
+                parts.append(fj(th_all[sl], projections[sl], views.cor[sl]))
+            ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
             theta = jnp.clip(ref.theta6, lo, hi)
         else:
             ref = refine_views(volume, projections, geom, views, mask=mask,

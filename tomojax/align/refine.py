@@ -236,10 +236,15 @@ def gradient_descent_view(vol, proj_meas, geom: Geometry, theta6_init, cor,
         th, it = c["theta"], c["it"]
         f0 = c["cost"]
         g = grad_fn(th)
+        # scale the initial trial step so the first probe moves O(1) in
+        # parameter space — raw alpha0=1 with gradients of magnitude ~1e5
+        # evaluates wildly out-of-range parameters (the reference tolerates
+        # this on CPU; here it wastes backtracking iterations)
+        a0 = jnp.minimum(1.0, 1.0 / (1e-12 + jnp.linalg.norm(g)))
         if step_search == "wolfe":
-            ls = wolfe(cost_fn, grad_fn, th, -g, g, f0, alpha0=1.0)
+            ls = wolfe(cost_fn, grad_fn, th, -g, g, f0, alpha0=a0)
         else:
-            ls = armijo(cost_fn, th, -g, g, f0, alpha0=1.0)
+            ls = armijo(cost_fn, th, -g, g, f0, alpha0=a0)
 
         def on_success(_):
             # ls_counter is cumulative in the reference (never reset,

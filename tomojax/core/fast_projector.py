@@ -359,17 +359,14 @@ def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
     """Exact adjoint of :func:`project` (line-gathers transpose to line
     scatters, matmuls to matmuls).
 
-    Uses ``jax.linear_transpose`` when called eagerly; under an outer trace
-    it falls back to ``jax.vjp`` linearized at zero (identical result for a
-    linear map; one extra forward-on-zeros which XLA largely folds away) —
-    ``linear_transpose`` inside a jit currently trips on accumulated-cotangent
-    internals in this JAX version.
+    Implemented with ``jax.vjp`` linearized at zero — identical to the
+    transpose for a linear map (the forward-on-zeros primal is dead code
+    XLA largely folds away), and unlike ``jax.linear_transpose`` it works
+    through the Pallas kernels' ``custom_vjp`` and through ``lax.cond``.
     """
     flags = swap_flags(views)
     sino = sino.reshape(geom.n_proj, geom.n_det).astype(dtype)
-    vol_spec = jax.ShapeDtypeStruct(geom.vox_shape, dtype)
     acc = jnp.zeros(geom.vox_shape, dtype)
-    traced = isinstance(sino, jax.core.Tracer)
     for swapped in (False, True):
         idx = np.nonzero(flags == swapped)[0]
         if idx.size == 0:
@@ -378,10 +375,7 @@ def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
         fwd = lambda v: _project_group(v, geom, sub, swapped, dtype,
                                        views_chunk)
         ct = sino[jnp.asarray(idx)]
-        if traced:
-            _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
-            (vol_bar,) = vjp_fn(ct)
-        else:
-            (vol_bar,) = jax.linear_transpose(fwd, vol_spec)(ct)
+        _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
+        (vol_bar,) = vjp_fn(ct)
         acc = acc + vol_bar
     return acc

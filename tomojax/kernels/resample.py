@@ -301,14 +301,30 @@ def _params(A, N, m_out, max_slope):
     return chunk, n_win, m_pad, a_pad
 
 
+def _sanitize(offsets, slope, N, m_out, max_slope, dtype):
+    """Totalize the kernel inputs: offsets/slopes outside the data range
+    produce zeros via the masks anyway, so clamping (and NaN-replacing) is
+    semantically free and keeps every in-kernel int conversion defined —
+    important because optimizers evaluate wild trial parameters."""
+    bound = jnp.asarray(float(N + max_slope * m_out + 8), dtype)
+    off = jnp.nan_to_num(offsets.astype(dtype), nan=float(2 * N + 8),
+                         posinf=float(2 * N + 8), neginf=-float(2 * N + 8))
+    off = jnp.clip(off, -bound, bound)
+    sl = jnp.nan_to_num(jnp.asarray(slope, dtype), nan=max_slope,
+                        posinf=max_slope, neginf=-max_slope)
+    sl = jnp.clip(sl, -max_slope, max_slope)
+    return off, sl
+
+
 def _resample_fwd_impl(arr, offsets, slope, m_out, max_slope, interpret):
     A, N = arr.shape
     dtype = arr.dtype
     chunk, n_win, m_pad, a_pad = _params(A, N, m_out, max_slope)
+    offsets_s, slope_s = _sanitize(offsets.reshape(-1), slope, N, m_out,
+                                   max_slope, dtype)
     arr_p = jnp.pad(arr, ((0, a_pad - A), (0, 0)))
-    off_p = jnp.pad(offsets.reshape(-1).astype(dtype),
-                    (0, a_pad - A)).reshape(a_pad, 1)
-    slope_arr = jnp.asarray(slope, dtype).reshape(1, 1)
+    off_p = jnp.pad(offsets_s, (0, a_pad - A)).reshape(a_pad, 1)
+    slope_arr = slope_s.reshape(1, 1)
     out = _pallas_resample_fwd_call(arr_p, off_p, slope_arr, n_data=N,
                                     m_pad=m_pad, chunk=chunk, n_win=n_win,
                                     interpret=interpret)
@@ -325,10 +341,11 @@ def _resample_bwd_rule(m_out, max_slope, interpret, res, g):
     A, N = arr.shape
     dtype = arr.dtype
     chunk, n_win, m_pad, a_pad = _params(A, N, m_out, max_slope)
+    offsets_s, slope_s = _sanitize(offsets.reshape(-1), slope, N, m_out,
+                                   max_slope, dtype)
     arr_p = jnp.pad(arr, ((0, a_pad - A), (0, 0)))
-    off_p = jnp.pad(offsets.reshape(-1).astype(dtype),
-                    (0, a_pad - A)).reshape(a_pad, 1)
-    slope_arr = jnp.asarray(slope, dtype).reshape(1, 1)
+    off_p = jnp.pad(offsets_s, (0, a_pad - A)).reshape(a_pad, 1)
+    slope_arr = slope_s.reshape(1, 1)
     g_p = jnp.pad(g.astype(dtype), ((0, a_pad - A), (0, m_pad - m_out)))
     abar, obar, sbar = _pallas_resample_bwd_call(
         arr_p, off_p, slope_arr, g_p, n_data=N, m_pad=m_pad, chunk=chunk,
