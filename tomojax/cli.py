@@ -149,10 +149,13 @@ def cmd_align(args):
 
     if cfg.align.pre_align_cc:
         offsets, _ = cross_correlation_chain(proj)
+        # the detector co-rotates with the beam, so a (tx, tz) object shift
+        # moves the projection by exactly (+tx, +tz) in (row=u, col=v) at
+        # any phi; chain offsets therefore estimate +t per view (with the
+        # usual slowly-accumulating rotation-drift bias of pairwise chains)
         t0 = np.zeros((n_proj, 3), np.float32)
-        # detector (u, v) ≡ volume (x, z); offsets are (row=u, col=v)
-        t0[:, 0] = -np.asarray(offsets)[:, 0]
-        t0[:, 2] = -np.asarray(offsets)[:, 1]
+        t0[:, 0] = np.asarray(offsets)[:, 0]
+        t0[:, 2] = np.asarray(offsets)[:, 1]
         views0 = Views.create(n_proj, phi=d["phi"], t=t0)
         print("CC pre-alignment applied")
 
