@@ -200,17 +200,30 @@ def refine_views(vol, projections, geom: Geometry, views, *, mask=None,
 def gradient_descent_view(vol, proj_meas, geom: Geometry, theta6_init, cor,
                           *, mask=None, max_iter: int = 100, eps: float = 1e-6,
                           step_search: str = "armijo", family: str = "ray",
+                          param_scale=None,
                           dtype=jnp.float32) -> RefineResult:
     """Plain gradient descent with Armijo (or Wolfe) backtracking and the
     reference's brute 10×-backoff fallback (``gradient_descent``,
     ``alignment_functions.py:40-110``, ``step_search`` option at ``:43``):
-    two consecutive brute line searches abort the optimization."""
+    two consecutive brute line searches abort the optimization.
+
+    ``param_scale`` (6,) diagonally preconditions the descent direction —
+    the jit equivalent of the reference's ``scale_factor`` hooks
+    (``alignment_functions.py:138-141``). Angles produce gradients ~100×
+    larger per unit than translations; the default scale
+    (1, 1, 1, 0.01, 0.01, 0.01) balances the step so mixed
+    translation+angle subsets (xzab, xzpab) converge."""
     from tomojax.recon.linesearch import armijo, wolfe, brute_backoff
 
     if mask is None:
         mask = PARAM_SETS["xzab"]
     mask_f = mask.astype(dtype)
     theta0 = jnp.asarray(theta6_init, dtype)
+    if param_scale is None:
+        param_scale = jnp.asarray([1.0, 1.0, 1.0, 0.01, 0.01, 0.01], dtype)
+    else:
+        param_scale = jnp.asarray(param_scale, dtype)
+    precond = param_scale * param_scale
 
     def cost_fn(th):
         return alignment_cost(vol, proj_meas, geom, th, cor, dtype=dtype,
@@ -236,26 +249,28 @@ def gradient_descent_view(vol, proj_meas, geom: Geometry, theta6_init, cor,
         th, it = c["theta"], c["it"]
         f0 = c["cost"]
         g = grad_fn(th)
+        # diagonally preconditioned descent direction (scale_factor analog)
+        d = -g * precond
         # scale the initial trial step so the first probe moves O(1) in
         # parameter space — raw alpha0=1 with gradients of magnitude ~1e5
         # evaluates wildly out-of-range parameters (the reference tolerates
         # this on CPU; here it wastes backtracking iterations)
-        a0 = jnp.minimum(1.0, 1.0 / (1e-12 + jnp.linalg.norm(g)))
+        a0 = jnp.minimum(1.0, 1.0 / (1e-12 + jnp.linalg.norm(d)))
         if step_search == "wolfe":
-            ls = wolfe(cost_fn, grad_fn, th, -g, g, f0, alpha0=a0)
+            ls = wolfe(cost_fn, grad_fn, th, d, g, f0, alpha0=a0)
         else:
-            ls = armijo(cost_fn, th, -g, g, f0, alpha0=a0)
+            ls = armijo(cost_fn, th, d, g, f0, alpha0=a0)
 
         def on_success(_):
             # ls_counter is cumulative in the reference (never reset,
             # alignment_functions.py:62,82)
-            th_new = th - ls.alpha * g
+            th_new = th + ls.alpha * d
             return th_new, ls.f_new, jnp.asarray(0, jnp.int32), \
                 c["brute_count"]
 
         def on_failure(_):
-            bb = brute_backoff(cost_fn, th, -g, f0, alpha0=1.0)
-            th_new = jnp.where(bb.success, th - bb.alpha * g, th)
+            bb = brute_backoff(cost_fn, th, d, f0, alpha0=1.0)
+            th_new = jnp.where(bb.success, th + bb.alpha * d, th)
             f_new = jnp.where(bb.success, bb.f_new, f0)
             brute = c["brute_count"] + 1
             stop = jnp.where(jnp.logical_not(bb.success) | (brute >= 2),
