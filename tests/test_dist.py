@@ -110,3 +110,25 @@ def test_sharded_fast_family_matches_single(problem):
     b1 = op1.AT(a1)
     b8 = ops.AT(a1)
     np.testing.assert_allclose(b8, b1, rtol=2e-4, atol=2e-4)
+
+
+def test_volume_sharded_voxel_operator(problem):
+    # x-axis of the volume sharded over the mesh's second axis — matches
+    # the single-device voxel-family operator exactly
+    vol, geom, views, op, b = problem
+    from tomojax.core.operators import make_operator as mk
+    mesh = make_mesh(4, 2)  # proj=4, vol=2
+    from tomojax.dist import make_volume_sharded_operator
+    opv_sh = make_volume_sharded_operator(geom, views, mesh)
+    opv = mk(geom, views, family="voxel")
+    a1 = opv.A(vol)
+    a_sh = opv_sh.A(vol)
+    np.testing.assert_allclose(a_sh, a1, rtol=1e-5, atol=1e-5)
+    bt1 = opv.AT(a1)
+    bt_sh = opv_sh.AT(a1)
+    np.testing.assert_allclose(bt_sh, bt1, rtol=1e-5, atol=1e-5)
+
+    # and solvers run on it
+    from tomojax.recon import sirt as _sirt
+    r = _sirt(opv_sh, opv_sh.A(vol), niter=5)
+    assert np.isfinite(np.asarray(r.x)).all()

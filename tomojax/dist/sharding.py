@@ -39,7 +39,9 @@ from tomojax.core import projector as ray_proj
 def make_mesh(n_proj_shards: int | None = None, n_ray_shards: int = 1,
               devices=None) -> Mesh:
     """Build a ``("proj", "ray")`` mesh. Defaults to all devices on the
-    ``proj`` axis (the reference's only strategy: angle data-parallelism)."""
+    ``proj`` axis (the reference's only strategy: angle data-parallelism).
+    The second axis doubles as the volume axis for
+    :func:`make_volume_sharded_operator`."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_proj_shards is None:
         n_proj_shards = devices.size // n_ray_shards
@@ -180,3 +182,110 @@ def sharded_refine_views(vol, projections, geom: Geometry, views: Views,
                   in_specs=(P("proj"), vspec),
                   out_specs=(P("proj"), P("proj")), check_vma=False)
     return f(projections, views)
+
+
+def make_volume_sharded_operator(geom: Geometry, views: Views, mesh: Mesh, *,
+                                 dtype=jnp.float32) -> TomoOperator:
+    """Volume-sharded operator: the volume's x-axis is distributed over the
+    mesh's second axis — the spatial-sharding analog the reference lacks
+    (its volume is always fully replicated per rank, ``sirt_mpi.py:56``;
+    SURVEY §5 names this the long-context/ring-attention analog).
+
+    Uses the voxel-driven family, whose per-voxel work decomposes cleanly
+    under a spatial partition with NO halo exchange: forward = psum of each
+    shard's bilinear splat; adjoint = per-shard gather from the (replicated)
+    detector. Views are simultaneously sharded over ``proj``. Enables
+    volumes larger than a single chip's HBM.
+
+    Requires ``nx %% vol_shards == 0`` and ``n_proj %% proj_shards == 0``.
+    """
+    from tomojax.core import voxel_projector as vox
+
+    n_pshard = mesh.shape["proj"]
+    vol_axis = [a for a in mesh.axis_names if a != "proj"][0]
+    n_vshard = mesh.shape[vol_axis]
+    nx, ny, nz = geom.vox_shape
+    assert nx % n_vshard == 0, (nx, n_vshard)
+    assert geom.n_proj % n_pshard == 0, (geom.n_proj, n_pshard)
+    nx_loc = nx // n_vshard
+
+    centers_full = geom.vox_centers_np().reshape(3, nx, ny, nz)
+
+    def _local_centers(dtype):
+        # slice of voxel centers owned by this shard (x block)
+        i = lax.axis_index(vol_axis)
+        c = jnp.asarray(centers_full, dtype)
+        return lax.dynamic_slice_in_dim(c, i * nx_loc, nx_loc, axis=1
+                                        ).reshape(3, -1)
+
+    def _fwd_local(x_shard, v: Views):
+        centers = _local_centers(dtype)
+
+        def one(vv):
+            rc = vox.voxel_transform(centers, vv.alpha, vv.beta, vv.phi,
+                                     vv.t)
+            orig = geom.vox_origin(dtype) - vv.cor
+            ds = jnp.asarray(geom.vox_ds, dtype)
+            px = (rc[0] - orig[0]) / ds[0]
+            pz = (rc[2] - orig[2]) / ds[2]
+            fx = jnp.floor(px)
+            fz = jnp.floor(pz)
+            ax = px - fx
+            az = pz - fz
+            rec = x_shard.reshape(-1).astype(dtype)
+            out = jnp.zeros((geom.n_det,), dtype=dtype)
+            for lin, w, _ in vox._corner_scatter_ops(
+                    fx.astype(jnp.int32), fz.astype(jnp.int32), ax, az,
+                    geom.det_shape):
+                out = out.at[lin].add(w * rec)
+            return out
+
+        local = jax.vmap(one)(v)
+        # each shard splats only its voxels: sum shards; proj stays sharded
+        return lax.psum(local, vol_axis)
+
+    def _adj_local(y_shard, v: Views):
+        centers = _local_centers(dtype)
+
+        def one(y_i, vv):
+            rc = vox.voxel_transform(centers, vv.alpha, vv.beta, vv.phi,
+                                     vv.t)
+            orig = geom.vox_origin(dtype) - vv.cor
+            ds = jnp.asarray(geom.vox_ds, dtype)
+            px = (rc[0] - orig[0]) / ds[0]
+            pz = (rc[2] - orig[2]) / ds[2]
+            fx = jnp.floor(px)
+            fz = jnp.floor(pz)
+            ax = px - fx
+            az = pz - fz
+            acc = jnp.zeros((nx_loc * ny * nz,), dtype=dtype)
+            yy = y_i.reshape(-1).astype(dtype)
+            for lin, w, _ in vox._corner_scatter_ops(
+                    fx.astype(jnp.int32), fz.astype(jnp.int32), ax, az,
+                    geom.det_shape):
+                acc = acc + w * jnp.take(yy, lin, axis=0)
+            return acc.reshape(nx_loc, ny, nz)
+
+        # sum over this shard's views, then over the proj axis: each shard
+        # keeps only ITS x-block of the volume
+        local = jnp.sum(jax.vmap(one)(y_shard, v), axis=0)
+        return lax.psum(local, "proj")
+
+    vspec = Views(phi=P("proj"), alpha=P("proj"), beta=P("proj"),
+                  t=P("proj"), cor=P("proj"))
+    A_sh = shard_map(_fwd_local, mesh=mesh,
+                     in_specs=(P(vol_axis), vspec), out_specs=P("proj"),
+                     check_vma=False)
+    AT_sh = shard_map(_adj_local, mesh=mesh,
+                      in_specs=(P("proj"), vspec), out_specs=P(vol_axis),
+                      check_vma=False)
+
+    def A_fn(x):
+        return A_sh(x.reshape(geom.vox_shape).astype(dtype), views)
+
+    def AT_fn(y):
+        return AT_sh(y.reshape(geom.n_proj, geom.n_det).astype(dtype),
+                     views)
+
+    return TomoOperator(geom=geom, views=views, A=A_fn, AT=AT_fn,
+                        family="voxel-volume-sharded", dtype=dtype)
