@@ -110,7 +110,8 @@ def view_affine(geom: Geometry, phi, alpha, beta, t, cor, dtype):
     return E, B
 
 
-def _resample_minor(arr, offsets, slope, m_out: int, max_slope: float):
+def _resample_minor(arr, offsets, slope, m_out: int, max_slope: float,
+                    linear_only: bool = False):
     """Affine 1-D resample along the minor axis of ``arr`` (A, B, N).
 
     ``out[a, b, i] = lerp(arr[a, b, :], offsets[a, b] + slope * i)`` with
@@ -138,7 +139,7 @@ def _resample_minor(arr, offsets, slope, m_out: int, max_slope: float):
         out = resample_rows_pallas(arr.reshape(A * Bc, N),
                                    offsets.reshape(-1).astype(dtype),
                                    jnp.asarray(slope, dtype), m_out,
-                                   max_slope)
+                                   max_slope, linear_only=linear_only)
         return out.reshape(A, Bc, m_out)
 
     # chunk the output so each window stays near the data length
@@ -253,7 +254,8 @@ def forward_view(vol, geom: Geometry, phi, alpha, beta, t, cor,
     return _forward_marching_y(vol, E, B, geom, dtype)
 
 
-def _forward_marching_y(vol, E, B, geom: Geometry, dtype):
+def _forward_marching_y(vol, E, B, geom: Geometry, dtype,
+                        linear_only: bool = False):
     """y-marching fast forward (|ED_y| dominant, |EU_x| bounded below)."""
     nx, ny, nz = vol.shape
     nu, nv = geom.det_shape
@@ -272,7 +274,8 @@ def _forward_marching_y(vol, E, B, geom: Geometry, dtype):
     zeta_slope = inv_g12
     # |1/G12| ≈ dv·(1 + O(jitter)); static bound 1.2·dv covers ±10° jitter
     i1 = _resample_minor(vol, zeta0, zeta_slope, nv,
-                         max_slope=1.2 * geom.det_pix[1])
+                         max_slope=1.2 * geom.det_pix[1],
+                         linear_only=linear_only)
 
     # ---- pass 2: resample y; I2(x, j, v) = I1(x, y*(x, j, v), v) --------
     # u(x, j, v) = (x − Bx − EVx v − EDx j)/EUx;  y* = By + EUy u + EVy v + EDy j
@@ -285,7 +288,8 @@ def _forward_marching_y(vol, E, B, geom: Geometry, dtype):
     yj = ED[1] - cu * ED[0]
     # |yj| = step·det2/R00 ≤ step/cos45° · (1 + O(jitter)); 1.6·step is safe
     i2 = _resample_minor(i1_t, y0, yj, nj,
-                         max_slope=1.6 * geom.step_size)
+                         max_slope=1.6 * geom.step_size,
+                         linear_only=linear_only)
 
     # ---- pass 3: resample x + reduce j ----------------------------------
     # x*(u, j, v) = Bx + EUx u + EVx v + EDx j
@@ -293,7 +297,8 @@ def _forward_marching_y(vol, E, B, geom: Geometry, dtype):
     j_idx = jnp.arange(nj, dtype=dtype)
     x0 = B[0] + EV[0] * v_idx[None, :] + ED[0] * j_idx[:, None]
     out = _resample_minor(i2_t, x0, EU[0], nu,
-                          max_slope=1.2 * geom.det_pix[0])  # (nj, nv, nu)
+                          max_slope=1.2 * geom.det_pix[0],
+                          linear_only=linear_only)          # (nj, nv, nu)
     sino = jnp.sum(out, axis=0)  # (nv, nu)
     return sino.T.reshape(-1)    # u-major like the exact family
 
@@ -303,7 +308,7 @@ def _take_views(views: Views, idx) -> Views:
 
 
 def _project_group(vol, geom: Geometry, views: Views, swapped: bool, dtype,
-                   views_chunk):
+                   views_chunk, linear_only: bool = False):
     """All views in one octant group: the volume transpose (if any) is
     shared, no in-graph branching."""
     if swapped:
@@ -316,7 +321,8 @@ def _project_group(vol, geom: Geometry, views: Views, swapped: bool, dtype,
         E, B = view_affine(geom, v.phi, v.alpha, v.beta, v.t, v.cor, dtype)
         if swapped:
             E, B = _mm(perm, E), _mm(perm, B)
-        return _forward_marching_y(vol_use, E, B, geom, dtype)
+        return _forward_marching_y(vol_use, E, B, geom, dtype,
+                                   linear_only=linear_only)
 
     n = views.n_proj
     chunk = views_chunk or max(1, min(n, (1 << 26) // max(1, geom.n_vox)))
@@ -372,8 +378,10 @@ def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
         if idx.size == 0:
             continue
         sub = _take_views(views, jnp.asarray(idx))
+        # linear_only: the solver adjoint discards theta cotangents, so the
+        # lean transpose-only backward kernel applies (~2x cheaper)
         fwd = lambda v: _project_group(v, geom, sub, swapped, dtype,
-                                       views_chunk)
+                                       views_chunk, linear_only=True)
         ct = sino[jnp.asarray(idx)]
         _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
         (vol_bar,) = vjp_fn(ct)

@@ -211,6 +211,106 @@ def _kernel_bwd(off_ref, sl_ref, arr_ref, g_ref, abar_ref, obar_ref,
     sbar_ref[...] = sbar
 
 
+def _kernel_transpose(off_ref, sl_ref, g_ref, abar_ref, *, n_data, m_out,
+                      chunk, n_win):
+    """Lean transpose: rows cotangent ONLY (no window extraction, no band
+    values, no position cotangents). The selection bands and lerp weights
+    depend only on (offsets, slope) — never on the data — so the exact
+    transpose is one matmul + inverse rotate per chunk. Used by the solver
+    adjoint path where offset/slope cotangents are discarded (~2× cheaper
+    than the full backward)."""
+    R = ROWS_PER_PROGRAM
+    slope = sl_ref[0, 0]
+    dtype = g_ref.dtype
+    n = n_data
+
+    abar_ref[...] = jnp.zeros_like(abar_ref)
+    n_chunks = m_out // chunk
+    for c in range(n_chunks):
+        i0 = c * chunk
+        i = lax.broadcasted_iota(jnp.int32, (1, chunk), 1).astype(dtype)
+        minpos = jnp.minimum(slope * (chunk - 1), 0.0)
+        si = slope * i - minpos
+        k0 = jnp.floor(si)
+        q = lax.broadcasted_iota(jnp.int32, (n_win, chunk), 0).astype(dtype)
+        sel = jnp.concatenate([(q == k0).astype(dtype),
+                               (q == k0 + 1.0).astype(dtype),
+                               (q == k0 + 2.0).astype(dtype)], axis=1)
+
+        base = off_ref[:, 0] + (slope * i0 + minpos)
+        kf = jnp.floor(base)
+        r_frac = base - kf
+        k = kf.astype(jnp.int32)
+
+        kb = k.astype(dtype)[:, None]
+        a0 = kb + k0
+        tau = (si - k0) + r_frac[:, None]
+        in_lo = tau < 1.0
+
+        def wmask(a):
+            return ((a >= 0.0) & (a <= n - 1.0)).astype(dtype)
+
+        w0 = jnp.where(in_lo, 1.0 - tau, 0.0) * wmask(a0)
+        w1 = jnp.where(in_lo, tau, 2.0 - tau) * wmask(a0 + 1.0)
+        w2 = jnp.where(in_lo, 0.0, tau - 1.0) * wmask(a0 + 2.0)
+
+        g = g_ref[:, pl.ds(i0, chunk)]
+        gw = jnp.concatenate([w0 * g, w1 * g, w2 * g], axis=1)
+        wbar = jax.lax.dot_general(
+            gw, sel, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (R, n_win)
+
+        reps = -(-n_win // n)
+        if reps > 1:
+            folded = jnp.zeros((R, n), dtype)
+            for rr in range(reps):
+                p = wbar[:, rr * n:min((rr + 1) * n, n_win)]
+                width = p.shape[1]
+                folded = folded + (p if width == n else
+                                   jnp.pad(p, ((0, 0), (0, n - width))))
+            wbar = folded
+        else:
+            wbar = wbar[:, :n] if wbar.shape[1] == n else \
+                jnp.pad(wbar, ((0, 0), (0, n - wbar.shape[1])))
+        for r in range(R):
+            ni = jnp.int32(n)
+            inv_shift = lax.rem(lax.rem(k[r], ni) + ni, ni)
+            abar_ref[r:r + 1, :] += pltpu.roll(wbar[r:r + 1, :], inv_shift,
+                                               axis=1)
+
+
+def resample_rows_transpose(g, offsets, slope, n_data: int,
+                            max_slope: float, *, interpret: bool = False):
+    """Exact transpose of :func:`resample_rows_pallas` applied to cotangent
+    rows ``g (A, M)`` → ``(A, n_data)``. Linear in ``g``."""
+    A, m_out = g.shape
+    dtype = g.dtype
+    chunk, n_win, m_pad, a_pad = _params(A, n_data, m_out, max_slope)
+    offsets_s, slope_s = _sanitize(offsets.reshape(-1), slope, n_data,
+                                   m_out, max_slope, dtype)
+    off_p = jnp.pad(offsets_s, (0, a_pad - A)).reshape(a_pad, 1)
+    slope_arr = slope_s.reshape(1, 1)
+    g_p = jnp.pad(g, ((0, a_pad - A), (0, m_pad - m_out)))
+    R = ROWS_PER_PROGRAM
+    kernel = functools.partial(_kernel_transpose, n_data=n_data,
+                               m_out=m_pad, chunk=chunk, n_win=n_win)
+    out = pl.pallas_call(
+        kernel,
+        grid=(a_pad // R,),
+        in_specs=[
+            pl.BlockSpec((R, 1), lambda a: (a, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, m_pad), lambda a: (a, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, n_data), lambda a: (a, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a_pad, n_data), dtype),
+        interpret=interpret,
+    )(off_p, slope_arr, g_p)
+    return out[:A]
+
+
 def _pallas_resample_fwd_call(arr_p, off_p, slope_arr, *, n_data, m_pad,
                               chunk, n_win, interpret):
     R = ROWS_PER_PROGRAM
@@ -267,19 +367,27 @@ def _pallas_resample_bwd_call(arr_p, off_p, slope_arr, g_p, *, n_data,
 
 
 def resample_rows_pallas(arr, offsets, slope, m_out: int, max_slope: float,
-                         *, interpret: bool = False):
+                         *, interpret: bool = False,
+                         linear_only: bool = False):
     """Pallas-accelerated batched affine row resample (differentiable).
 
     :param arr: (A, N) rows.
     :param offsets: (A,) per-row start positions.
     :param slope: traced scalar, |slope| ≤ max_slope.
     :param m_out: output samples per row.
+    :param linear_only: use the lean transpose backward that produces only
+        the rows cotangent (offsets/slope cotangents come back zero) —
+        ~2× cheaper; valid when the caller only differentiates w.r.t. the
+        data (solver adjoints).
     :returns: (A, m_out) with zeros outside [0, N).
 
     Differentiable w.r.t. ``arr`` (exact transpose), ``offsets`` and
     ``slope`` (floor terms piecewise-constant, as in XLA autodiff) via a
     custom backward kernel.
     """
+    if linear_only:
+        return _resample_custom_linear(arr, offsets, slope, m_out,
+                                       max_slope, bool(interpret))
     return _resample_custom(arr, offsets, slope, m_out, max_slope,
                             bool(interpret))
 
@@ -397,3 +505,31 @@ def _resample_rows_pallas_raw(arr, offsets, slope, m_out: int,
         interpret=interpret,
     )(off_p, slope_arr, arr_p)
     return out[:A, :m_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _resample_custom_linear(arr, offsets, slope, m_out, max_slope,
+                            interpret):
+    out, _ = _resample_fwd_impl(arr, offsets, slope, m_out, max_slope,
+                                interpret)
+    return out
+
+
+def _resample_fwd_rule_linear(arr, offsets, slope, m_out, max_slope,
+                              interpret):
+    out, res = _resample_fwd_impl(arr, offsets, slope, m_out, max_slope,
+                                  interpret)
+    return out, (res[1], res[2], arr.shape)
+
+
+def _resample_bwd_rule_linear(m_out, max_slope, interpret, res, g):
+    offsets, slope, arr_shape = res
+    A, N = arr_shape
+    arr_bar = resample_rows_transpose(g, offsets, slope, N, max_slope,
+                                      interpret=interpret)
+    return (arr_bar, jnp.zeros_like(offsets),
+            jnp.zeros_like(jnp.asarray(slope)))
+
+
+_resample_custom_linear.defvjp(_resample_fwd_rule_linear,
+                               _resample_bwd_rule_linear)
