@@ -187,6 +187,7 @@ def test_alignment_gradient_consistent(align_problem):
 # ------------------------- pipeline -------------------------
 
 
+@pytest.mark.slow
 def test_align_reconstruct_improves(tmp_path):
     n = 16
     n_proj = 24

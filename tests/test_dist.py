@@ -55,6 +55,7 @@ def test_sharded_2d_mesh_forward_adjoint(problem):
     np.testing.assert_allclose(ops.AT(b), op.AT(b), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_cgls_equals_single(problem):
     vol, geom, views, op, b = problem
     mesh = make_mesh(8, 1)
@@ -98,6 +99,7 @@ def test_sharded_refine_matches_single(problem):
     np.testing.assert_allclose(theta_s, res.theta6, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_fast_family_matches_single(problem):
     vol, geom, views, op, b = problem
     from tomojax.core.operators import make_operator as mk
@@ -112,6 +114,7 @@ def test_sharded_fast_family_matches_single(problem):
     np.testing.assert_allclose(b8, b1, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_volume_sharded_voxel_operator(problem):
     # x-axis of the volume sharded over the mesh's second axis — matches
     # the single-device voxel-family operator exactly

@@ -23,6 +23,7 @@ def _one_view(phi, alpha=0.0, beta=0.0, tx=0.0, tz=0.0):
                         beta=np.array([beta]), t=np.array([[tx, 0.0, tz]]))
 
 
+@pytest.mark.slow
 def test_fast_matches_exact_at_cardinal_angles(vol32):
     geom = Geometry(n_proj=1, vox_shape=(32,) * 3, det_shape=(32, 32))
     for phi in [0.0, np.pi / 2, np.pi]:
@@ -45,6 +46,7 @@ def test_fast_close_to_exact_all_octants(vol32):
         assert mass < 0.01, (phi, mass)
 
 
+@pytest.mark.slow
 def test_fast_adjoint_dot_product(vol32):
     geom = Geometry(n_proj=4, vox_shape=(32,) * 3, det_shape=(32, 32))
     rng = np.random.default_rng(0)
@@ -58,6 +60,7 @@ def test_fast_adjoint_dot_product(vol32):
     assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
 
 
+@pytest.mark.slow
 def test_fast_family_cgls_reconstructs(vol32):
     n_proj = 36
     geom = Geometry(n_proj=n_proj, vox_shape=(32,) * 3, det_shape=(32, 32))
@@ -81,6 +84,7 @@ def test_fast_family_cgls_reconstructs(vol32):
     assert rel2 < 0.4, rel2
 
 
+@pytest.mark.slow
 def test_fast_differentiable_wrt_theta(vol32):
     # autodiff through the fast forward gives usable 6-DoF gradients
     geom = Geometry(n_proj=1, vox_shape=(32,) * 3, det_shape=(32, 32))

@@ -31,6 +31,7 @@ def test_kernel_matches_xla_path(A, N, M, slope, ms):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_kernel_gradients_match_autodiff():
     rng = np.random.default_rng(1)
     A, N, M, s, ms = 16, 256, 256, 1.04, 1.2

@@ -91,6 +91,7 @@ def test_jacobian_matches_oracle():
     np.testing.assert_allclose(jac, jac_o, rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_jacobian_matches_autodiff():
     # the analytic Jacobian must equal jax.jacrev through the plain forward
     vol, geom, views = _setup(n=8)

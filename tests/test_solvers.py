@@ -30,6 +30,7 @@ def _rel_err(x, ref):
     return np.linalg.norm(x - ref) / np.linalg.norm(ref)
 
 
+@pytest.mark.slow
 def test_cgls_converges(problem):
     vol, geom, views, op, b = problem
     res = cgls(op, b, niter=60)
@@ -39,6 +40,7 @@ def test_cgls_converges(problem):
     assert conv[-1] < conv[0] * 1e-2
 
 
+@pytest.mark.slow
 def test_cgls_ground_truth_metric(problem):
     vol, geom, views, op, b = problem
     res = cgls(op, b, niter=15, ground_truth=vol)
@@ -47,6 +49,7 @@ def test_cgls_ground_truth_metric(problem):
     assert rms[-1] == pytest.approx(_rel_err(res.x, vol), rel=1e-3)
 
 
+@pytest.mark.slow
 def test_sirt_converges(problem):
     vol, geom, views, op, b = problem
     res = sirt(op, b, niter=150, positivity=True)
@@ -57,6 +60,7 @@ def test_sirt_converges(problem):
     assert np.all(np.asarray(res.x) >= 0.0)
 
 
+@pytest.mark.slow
 def test_sirt_semiconvergence_stops(problem):
     vol, geom, views, op, b = problem
     noisy = b + 0.05 * float(jnp.max(b)) * \
@@ -68,6 +72,7 @@ def test_sirt_semiconvergence_stops(problem):
     assert int(res.stop_reason) == 1
 
 
+@pytest.mark.slow
 def test_tikhonov_gd(problem):
     vol, geom, views, op, b = problem
     res = tikhonov_gd(op, b, niter=40, reg_param=0.1, positivity=True)
@@ -77,6 +82,7 @@ def test_tikhonov_gd(problem):
     assert rms[-1] < 0.5 * rms[0]
 
 
+@pytest.mark.slow
 def test_lasso(problem):
     vol, geom, views, op, b = problem
     res_i = lasso_ista(op, b, niter=20, reg_param=0.01)
@@ -89,6 +95,7 @@ def test_lasso(problem):
     assert np.all(np.asarray(res_f.step_size)[: int(res_f.n_iter)] > 0)
 
 
+@pytest.mark.slow
 def test_fista_tv(problem):
     vol, geom, views, op, b = problem
     # hyper=None auto-sets the step from a power-iteration Lipschitz bound

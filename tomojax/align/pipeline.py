@@ -56,6 +56,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       refine_method: str = "lm",
                       bounds=None, ground_truth=None, dtype=jnp.float32,
                       family: str = "ray",
+                      volume0=None,
                       checkpoint_dir: str | None = None,
                       resume: bool = True, verbose: bool = False,
                       callback=None) -> AlignState:
@@ -86,7 +87,8 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                           jnp.asarray(bounds[1], dtype))
 
     views = views0
-    volume = jnp.zeros(geom.vox_shape, dtype)
+    volume = (jnp.zeros(geom.vox_shape, dtype) if volume0 is None
+              else jnp.asarray(volume0, dtype).reshape(geom.vox_shape))
     history = {"recon_rms": [], "refine_cost": []}
     start_iter = 0
 

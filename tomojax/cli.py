@@ -37,6 +37,25 @@ def _load_config(args):
     return cfg
 
 
+def _infer_vox_shape(args, d, nu, nv):
+    """Volume shape for a loaded dataset: explicit --vox-shape wins, then the
+    stored phantom's shape, then the cubic (nu, nu, nv) guess — with a
+    warning, since a real (phantom-free) dataset with a non-cubic volume
+    would otherwise get a wrong geometry silently."""
+    if getattr(args, "vox_shape", None):
+        parts = [int(v) for v in args.vox_shape.split(",")]
+        if len(parts) == 1:
+            parts = parts * 3
+        assert len(parts) == 3, f"--vox-shape wants nx,ny,nz; got {parts}"
+        return tuple(parts)
+    gt = d.get("phantom")
+    if gt is not None:
+        return gt.shape
+    print(f"warning: no phantom in dataset and no --vox-shape given; "
+          f"assuming cubic ({nu}, {nu}, {nv})", file=sys.stderr)
+    return (nu, nu, nv)
+
+
 def cmd_simulate(args):
     import jax.numpy as jnp
     from tomojax.core import phantom as ph
@@ -85,8 +104,7 @@ def cmd_reconstruct(args):
     d = io.load_dataset(args.input)
     n_proj, nu, nv = d["projections"].shape
     gt = d.get("phantom")
-    nx, ny, nz = (gt.shape if gt is not None
-                  else (nu, nu, nv))
+    nx, ny, nz = _infer_vox_shape(args, d, nu, nv)
     from tomojax.core.geometry import Geometry
     geom = Geometry(n_proj=n_proj, vox_shape=(nx, ny, nz),
                     det_shape=(nu, nv))
@@ -140,7 +158,7 @@ def cmd_align(args):
     d = io.load_dataset(args.input)
     n_proj, nu, nv = d["projections"].shape
     gt = d.get("phantom")
-    nx, ny, nz = gt.shape if gt is not None else (nu, nu, nv)
+    nx, ny, nz = _infer_vox_shape(args, d, nu, nv)
     geom = Geometry(n_proj=n_proj, vox_shape=(nx, ny, nz),
                     det_shape=(nu, nv))
     proj = jnp.asarray(d["projections"], dtype=jnp.float32)
@@ -160,8 +178,12 @@ def cmd_align(args):
         print("CC pre-alignment applied")
 
     a = cfg.align
+    # phi is unbounded (as in _default_bounds): the mask decides whether phi
+    # is refined at all; a 0-width box would silently freeze it even for
+    # param_set="xzpab"
     bounds_lo = np.array([-a.bound_trans, -a.bound_trans, -a.bound_trans,
-                          0.0, -a.bound_angle, -a.bound_angle], np.float32)
+                          -np.inf, -a.bound_angle, -a.bound_angle],
+                         np.float32)
     bounds_hi = -bounds_lo
     state = align_reconstruct(
         proj.reshape(n_proj, -1), geom, views0, outer_iters=a.outer_iters,
@@ -173,13 +195,32 @@ def cmd_align(args):
     io.save_volume(args.output, state.volume)
     # report recovered vs true parameters when ground truth present
     if "xyz" in d:
-        tx_err = np.abs(np.asarray(state.views.t)[:, 0] - d["xyz"][:, 0])
-        tz_err = np.abs(np.asarray(state.views.t)[:, 2] - d["xyz"][:, 2])
-        a_err = np.abs(np.asarray(state.views.alpha) - d["alpha"])
-        b_err = np.abs(np.asarray(state.views.beta) - d["beta"])
-        print(f"param errors: tx {tx_err.mean():.4f} tz {tz_err.mean():.4f} "
-              f"alpha {a_err.mean():.5f} beta {b_err.mean():.5f}")
+        print_param_table(state.views, d)
     print(f"wrote {args.output}")
+
+
+def print_param_table(views, d, file=None):
+    """Per-view recovered-vs-true table — the reference prints this every
+    alignment pass (``examples/align_rigid.py:53-59``); it is the main
+    debugging surface for convergence work."""
+    t = np.asarray(views.t)
+    al = np.asarray(views.alpha)
+    be = np.asarray(views.beta)
+    print("view |   tx (true)      tz (true)    | alpha (true)    "
+          "beta (true)", file=file)
+    for i in range(t.shape[0]):
+        print(f"{i:4d} | {t[i, 0]:+8.4f} ({d['xyz'][i, 0]:+7.4f}) "
+              f"{t[i, 2]:+8.4f} ({d['xyz'][i, 2]:+7.4f}) | "
+              f"{al[i]:+8.5f} ({d['alpha'][i]:+8.5f}) "
+              f"{be[i]:+8.5f} ({d['beta'][i]:+8.5f})", file=file)
+    tx_err = np.abs(t[:, 0] - d["xyz"][:, 0])
+    tz_err = np.abs(t[:, 2] - d["xyz"][:, 2])
+    a_err = np.abs(al - d["alpha"])
+    b_err = np.abs(be - d["beta"])
+    print(f"param errors (mean/max): tx {tx_err.mean():.5f}/{tx_err.max():.5f}"
+          f" tz {tz_err.mean():.5f}/{tz_err.max():.5f}"
+          f" alpha {a_err.mean():.6f}/{a_err.max():.6f}"
+          f" beta {b_err.mean():.6f}/{b_err.max():.6f}", file=file)
 
 
 def main(argv=None):
@@ -204,12 +245,18 @@ def main(argv=None):
     p.add_argument("--output", "-o", required=True)
     p.add_argument("--shard", action="store_true",
                    help="angle-shard over all devices")
+    p.add_argument("--vox-shape", default=None,
+                   help="volume shape 'nx,ny,nz' (required for phantom-free "
+                        "datasets with non-cubic volumes)")
     p.set_defaults(fn=cmd_reconstruct)
 
     p = sub.add_parser("align", help="joint alignment + reconstruction")
     _add_common(p)
     p.add_argument("--input", "-i", required=True)
     p.add_argument("--output", "-o", required=True)
+    p.add_argument("--vox-shape", default=None,
+                   help="volume shape 'nx,ny,nz' (required for phantom-free "
+                        "datasets with non-cubic volumes)")
     p.set_defaults(fn=cmd_align)
 
     args = ap.parse_args(argv)

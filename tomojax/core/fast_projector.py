@@ -241,17 +241,24 @@ def forward_view(vol, geom: Geometry, phi, alpha, beta, t, cor,
     if swapped is False:
         return _forward_marching_y(vol, E, B, geom, dtype)
 
+    # swapped=None decides the octant in-graph, which requires the x/y swap
+    # to be available — refuse nx != ny here rather than silently running the
+    # unswapped path for x-dominant views
+    if nx != ny:
+        raise ValueError(
+            "fast family forward_view(swapped=None) requires nx == ny "
+            f"(got {nx} != {ny}); pass a static swapped flag or use the "
+            "exact ray family")
     swap = jnp.abs(E[0, 2]) > jnp.abs(E[1, 2])
-    if nx == ny:
-        def sw(_):
-            return _forward_marching_y(vol.transpose(1, 0, 2), _mm(perm, E),
-                                       _mm(perm, B), geom, dtype)
 
-        def st(_):
-            return _forward_marching_y(vol, E, B, geom, dtype)
+    def sw(_):
+        return _forward_marching_y(vol.transpose(1, 0, 2), _mm(perm, E),
+                                   _mm(perm, B), geom, dtype)
 
-        return lax.cond(swap, sw, st, None)
-    return _forward_marching_y(vol, E, B, geom, dtype)
+    def st(_):
+        return _forward_marching_y(vol, E, B, geom, dtype)
+
+    return lax.cond(swap, sw, st, None)
 
 
 def _forward_marching_y(vol, E, B, geom: Geometry, dtype,

@@ -209,14 +209,26 @@ def make_volume_sharded_operator(geom: Geometry, views: Views, mesh: Mesh, *,
     assert geom.n_proj % n_pshard == 0, (geom.n_proj, n_pshard)
     nx_loc = nx // n_vshard
 
-    centers_full = geom.vox_centers_np().reshape(3, nx, ny, nz)
+    # per-axis center values as small host constants (nx + ny + nz floats);
+    # each shard slices its x block and broadcasts in-graph — never the full
+    # (3, nx, ny, nz) grid, so per-device memory is O(local volume), not 3x
+    # the full volume (the point of spatial sharding)
+    sx, sy, sz = geom.vox_size
+    x_axis = geom._axis_centers(nx, sx)
+    y_axis = geom._axis_centers(ny, sy)
+    z_axis = geom._axis_centers(nz, sz)
 
     def _local_centers(dtype):
-        # slice of voxel centers owned by this shard (x block)
         i = lax.axis_index(vol_axis)
-        c = jnp.asarray(centers_full, dtype)
-        return lax.dynamic_slice_in_dim(c, i * nx_loc, nx_loc, axis=1
-                                        ).reshape(3, -1)
+        x = lax.dynamic_slice_in_dim(jnp.asarray(x_axis, dtype), i * nx_loc,
+                                     nx_loc)
+        y = jnp.asarray(y_axis, dtype)
+        z = jnp.asarray(z_axis, dtype)
+        shape = (nx_loc, ny, nz)
+        X = jnp.broadcast_to(x[:, None, None], shape)
+        Y = jnp.broadcast_to(y[None, :, None], shape)
+        Z = jnp.broadcast_to(z[None, None, :], shape)
+        return jnp.stack([X.reshape(-1), Y.reshape(-1), Z.reshape(-1)])
 
     def _fwd_local(x_shard, v: Views):
         centers = _local_centers(dtype)

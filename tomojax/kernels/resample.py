@@ -414,9 +414,15 @@ def _sanitize(offsets, slope, N, m_out, max_slope, dtype):
     produce zeros via the masks anyway, so clamping (and NaN-replacing) is
     semantically free and keeps every in-kernel int conversion defined —
     important because optimizers evaluate wild trial parameters."""
-    bound = jnp.asarray(float(N + max_slope * m_out + 8), dtype)
-    off = jnp.nan_to_num(offsets.astype(dtype), nan=float(2 * N + 8),
-                         posinf=float(2 * N + 8), neginf=-float(2 * N + 8))
+    # The out-of-reach sentinel must clear the data range for EITHER slope
+    # sign: offset = +bound puts every sampled position offset + slope*i in
+    # [bound - max_slope*m_out, bound] = [N+8, bound], i.e. always > N-1
+    # (and -bound symmetrically always < 0), so NaN parameters yield zero
+    # rows, never finite garbage.
+    bound_f = float(N + max_slope * m_out + 8)
+    bound = jnp.asarray(bound_f, dtype)
+    off = jnp.nan_to_num(offsets.astype(dtype), nan=bound_f,
+                         posinf=bound_f, neginf=-bound_f)
     off = jnp.clip(off, -bound, bound)
     sl = jnp.nan_to_num(jnp.asarray(slope, dtype), nan=max_slope,
                         posinf=max_slope, neginf=-max_slope)

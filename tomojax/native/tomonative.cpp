@@ -78,13 +78,19 @@ void ray_adjoint_f64(const double* p0, const double* d_hat, const double* y,
   const double dx = d_hat[0], dy = d_hat[1], dz = d_hat[2];
   const int64_t n_vox = nx * ny * nz;
 #if defined(_OPENMP)
-  const int n_threads = omp_get_max_threads();
+  // private accumulators avoid atomics on the hot path, but n_threads
+  // full-volume copies can exceed host memory for large volumes on
+  // many-core hosts (96 threads x 256^3 doubles ~ 12.9 GB); cap total
+  // scratch at ~1 GB of doubles and bound the team size to match.
+  const int64_t max_copies = (int64_t)((size_t)1 << 27) / (n_vox ? n_vox : 1);
+  const int n_threads =
+      (int)std::max<int64_t>(1, std::min<int64_t>(omp_get_max_threads(),
+                                                  max_copies));
 #else
   const int n_threads = 1;
 #endif
-  // private accumulators to avoid atomics on the hot path
   double* scratch = new double[(size_t)n_threads * n_vox]();
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(n_threads)
   for (int64_t r = 0; r < n_rays; ++r) {
 #if defined(_OPENMP)
     double* acc = scratch + (size_t)omp_get_thread_num() * n_vox;

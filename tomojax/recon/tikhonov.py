@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tomojax.core.operators import TomoOperator
-from tomojax.recon.linesearch import armijo
+from tomojax.recon.linesearch import armijo, wolfe
 
 
 class TikhonovResult(NamedTuple):
@@ -36,10 +36,15 @@ class TikhonovResult(NamedTuple):
 
 def tikhonov_gd(op: TomoOperator, b, *, niter: int = 100,
                 reg_param: float = 1.0, positivity: bool = False, x0=None,
-                ground_truth=None, fail_alpha: float | None = None
-                ) -> TikhonovResult:
+                ground_truth=None, fail_alpha: float | None = None,
+                step_search: str = "armijo") -> TikhonovResult:
     """``fail_alpha=None`` → stop on line-search failure (regularized.py
-    behavior); a float → use that step instead (sirt.py behavior)."""
+    behavior); a float → use that step instead (sirt.py behavior).
+
+    ``step_search``: "armijo" (``regularized.py:188-190``) or "wolfe" — the
+    reference's SIRT-twin regularized GD uses scipy's strong-Wolfe
+    ``optimize.line_search`` (``recon/sirt.py:135``); "wolfe" reproduces
+    that variant (one extra gradient evaluation per trial step)."""
     dtype = op.dtype
     b = jnp.asarray(b, dtype).reshape(op.geom.n_proj, op.geom.n_det)
     x = (jnp.zeros(op.vol_shape, dtype) if x0 is None
@@ -54,6 +59,9 @@ def tikhonov_gd(op: TomoOperator, b, *, niter: int = 100,
         return 0.5 * (jnp.vdot(r, r).real + lam * jnp.vdot(x, x).real
                       ).astype(dtype)
 
+    def objective_grad(x):
+        return op.AT(op.A(x) - b) + lam * x
+
     def cond(c):
         return (c["k"] < niter) & (c["stop"] == 0)
 
@@ -63,7 +71,10 @@ def tikhonov_gd(op: TomoOperator, b, *, niter: int = 100,
         grad = -op.AT(res) + lam * x
         f0 = 0.5 * (jnp.vdot(res, res).real + lam * jnp.vdot(x, x).real
                     ).astype(dtype)
-        ls = armijo(objective, x, -grad, grad, f0)
+        if step_search == "wolfe":
+            ls = wolfe(objective, objective_grad, x, -grad, grad, f0)
+        else:
+            ls = armijo(objective, x, -grad, grad, f0)
         if fail_alpha is None:
             alpha = ls.alpha
             ls_stop = jnp.where(ls.success, 0, 3).astype(jnp.int32)
