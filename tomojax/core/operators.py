@@ -20,6 +20,13 @@ Three projector families (the reference itself mixes two discretizations,
   transform (line-gathers + MXU banded matmuls, ``fast_projector.py``);
   ~2-3 orders of magnitude faster than "ray" on TPU, ≲ few % discretization
   difference. Exact transpose via ``jax.linear_transpose``.
+- ``family="slab"``  — slab-marching reformulation with the reference's
+  exact arc-quadrature sample positions (``slab_projector.py``,
+  ``quad="arc"``): identical to "ray" at zero rigid jitter, ≲0.3% at ±1°
+  jitter, and all-resample structure (the production speed path).
+- ``family="slab_plane"`` — same engine with one sample per slab plane
+  (``quad="plane"``) — ~4x cheaper, a different-but-valid discretization
+  for bulk solver iterations.
 
 ``voxel_mask`` reproduces the reference's masked system matrix
 (``projection_operators.py:60-70``): masked voxels contribute nothing to A
@@ -107,6 +114,23 @@ def make_operator(geom: Geometry, views: Views, *, family: str = "ray",
         def AT(y):
             out = fastp.backproject(y.reshape(geom.n_proj, geom.n_det),
                                     geom, views, dtype=dtype,
+                                    views_chunk=views_chunk)
+            return out * mask if mask is not None else out
+
+    elif family in ("slab", "slab_plane"):
+        from tomojax.core import slab_projector as slabp
+        quad = "arc" if family == "slab" else "plane"
+
+        def A(x):
+            x = x.reshape(geom.vox_shape).astype(dtype)
+            if mask is not None:
+                x = x * mask
+            return slabp.project(x, geom, views, dtype=dtype, quad=quad,
+                                 views_chunk=views_chunk)
+
+        def AT(y):
+            out = slabp.backproject(y.reshape(geom.n_proj, geom.n_det),
+                                    geom, views, dtype=dtype, quad=quad,
                                     views_chunk=views_chunk)
             return out * mask if mask is not None else out
 

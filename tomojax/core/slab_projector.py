@@ -1,0 +1,368 @@
+"""Slab-marching projector family — the production speed/accuracy operator.
+
+Reformulates the parallel-beam X-ray transform as a scan over volume slabs
+perpendicular to the dominant march axis. For each slab, every ray's
+intersection coordinates are affine in the detector indices (plus a known
+ceil-residual "sawtooth" term in the arc-quadrature mode), so the per-slab
+work is two 1-D interpolation passes — no 3-D gathers, no giant
+``(n_steps, nv, nu)`` intermediates (the weakness of ``fast_projector``).
+
+Two quadrature modes:
+
+- ``quad="arc"`` (default): reproduces the reference's arc-length sample
+  positions exactly (``ray_voxel_utilities.py:88-94``: samples at
+  ``p0 + j*step*d_hat``). Per y-slab ``s``, the samples with
+  ``floor(y*) in {s-1, s}`` contribute with their trilinear y-weights; their
+  in-plane coordinates are ``affine(u, v) + ED_axis * cfrac(u, v)`` where
+  ``cfrac`` is the ceil-residual of an affine function (the march index
+  ``j = ceil((s - y0)/EDy) + b`` for branch b). This mode is *identical* to
+  the exact ray family (``projector.forward_view``) at zero rigid jitter,
+  and differs only through the tiny cross-term offset
+  ``gzx = EUz'/EUx' = O(sin jitter)`` in pass A (measured ~1e-3 rel-L2 per
+  view at ±1° jitter, vs ~3e-2 for the 3-pass ``fast_projector`` family).
+
+- ``quad="plane"``: one sample per slab plane (y-plane Riemann sum, scaled
+  by ``step/|EDy|``) — ~4x cheaper, a *different* but equally valid
+  discretization (like the reference's voxel-driven family,
+  ``vox_wt_grad.f90``), for bulk solver iterations.
+
+Orientation handling: the march axis is the dominant component of
+``ED = step * R @ y_hat``. Views are grouped host-side by
+``(swap x/y, flip y)`` so that within a group the volume variant is shared
+and ``EDy > 0`` — no in-graph branching (cf. ``fast_projector.swap_flags``).
+
+The XLA implementation below is the portable/reference path (2-tap
+``take_along_axis`` lerps). On TPU the fused Pallas kernel in
+``tomojax.kernels.slab`` (same math, selection-matmul passes) takes over.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tomojax.core.geometry import Geometry, Views
+from tomojax.core.fast_projector import view_affine, _mm
+from tomojax.core.rotations import rot_x, rot_z
+
+_PERM_SWAP = np.array([[0, 1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+
+
+def orient_flags(views: Views) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side per-view orientation: (swap x/y, flip marching axis).
+
+    March direction is the rotated ŷ (``ED = R[:, 1]``, independent of
+    beta): swap iff ``|ED_x| > |ED_y|``; after the swap, flip iff the
+    dominant component is negative (so the slab loop always marches in +y
+    of the oriented volume)."""
+    phi = np.asarray(views.phi, np.float64)
+    alpha = np.asarray(views.alpha, np.float64)
+    edx = -np.sin(phi) * np.cos(alpha)
+    edy = np.cos(phi) * np.cos(alpha)
+    swap = np.abs(edx) > np.abs(edy)
+    dom = np.where(swap, edx, edy)
+    return swap, dom < 0.0
+
+
+def orient_volume(vol, geom: Geometry, swap: bool, yflip: bool):
+    """Volume variant for an orientation group (one-time per apply)."""
+    v = vol.reshape(geom.vox_shape)
+    if swap:
+        v = v.transpose(1, 0, 2)
+    if yflip:
+        v = v[:, ::-1, :]
+    return v
+
+
+def orient_affine(E, B, ny_oriented: int, swap: bool, yflip: bool, dtype):
+    """Transform the (u, v, j) → volume affine map into the oriented frame."""
+    if swap:
+        perm = jnp.asarray(_PERM_SWAP, dtype)
+        E = _mm(perm, E)
+        B = _mm(perm, B)
+    if yflip:
+        # y -> (ny - 1) - y
+        B = B.at[1].set((ny_oriented - 1.0) - B[1])
+        E = E.at[1].set(-E[1])
+    return E, B
+
+
+class SlabParams(NamedTuple):
+    """Per-view scalars of the oriented slab decomposition (all jnp)."""
+
+    edy: jnp.ndarray     # y-advance per march step (> 0 in oriented frame)
+    edx: jnp.ndarray     # x-advance per march step
+    edz: jnp.ndarray     # z-advance per march step
+    rx: jnp.ndarray      # EDx / EDy
+    rz: jnp.ndarray      # EDz / EDy
+    eux: jnp.ndarray     # in-plane x per detector-u (EUx - rx*EUy)
+    evx: jnp.ndarray     # in-plane x per detector-v
+    euz: jnp.ndarray     # in-plane z per detector-u
+    evz: jnp.ndarray     # in-plane z per detector-v
+    cxb: jnp.ndarray     # in-plane x offset (add rx*s per slab)
+    czb: jnp.ndarray     # in-plane z offset (add rz*s per slab)
+    gzx: jnp.ndarray     # dz/dx along constant-(v,slab): EUz/EUx
+    b1: jnp.ndarray      # B[1] (for the march-index map)
+    euy: jnp.ndarray     # EU[1]
+    evy: jnp.ndarray     # EV[1]
+
+
+def slab_params(E, B, dtype) -> SlabParams:
+    EU, EV, ED = E[:, 0], E[:, 1], E[:, 2]
+    edy = ED[1]
+    rx = ED[0] / edy
+    rz = ED[2] / edy
+    eux = EU[0] - rx * EU[1]
+    evx = EV[0] - rx * EV[1]
+    euz = EU[2] - rz * EU[1]
+    evz = EV[2] - rz * EV[1]
+    return SlabParams(
+        edy=edy, edx=ED[0], edz=ED[2], rx=rx, rz=rz,
+        eux=eux, evx=evx, euz=euz, evz=evz,
+        cxb=B[0] - rx * B[1], czb=B[2] - rz * B[1],
+        gzx=euz / eux, b1=B[1], euy=EU[1], evy=EV[1])
+
+
+def _lerp_rows(arr, pos):
+    """``out[..., i] = lerp(arr[..., :], pos[..., i])``, zero outside
+    ``[0, N)`` with per-tap bounds guards (XLA fallback path)."""
+    N = arr.shape[-1]
+    f = jnp.floor(pos)
+    k = f.astype(jnp.int32)
+    w = pos - f
+    out = jnp.zeros_like(pos)
+    for o in (0, 1):
+        kk = k + o
+        inb = (kk >= 0) & (kk < N)
+        wgt = w if o else 1.0 - w
+        v = jnp.take_along_axis(arr, jnp.clip(kk, 0, N - 1), axis=-1)
+        out = out + jnp.where(inb, wgt * v, 0.0)
+    return out
+
+
+def _n_branch(step_size: float) -> int:
+    # max arc samples per unit slab interval: ceil(1/min|EDy|) with
+    # |EDy| >= step*cos(45°)*cos(max jitter); one extra for safety at the
+    # octant boundary. step_size=1 → 2.
+    return int(np.ceil(np.sqrt(2.0) / step_size + 0.01))
+
+
+def _forward_oriented_xla(vol_or, p: SlabParams, geom: Geometry, *, quad,
+                          dtype, slab_chunk: int = 8):
+    """Forward projection of one oriented view (XLA path).
+
+    ``vol_or``: oriented volume (nx', ny', nz). Returns (nu, nv)."""
+    nx, ny, nz = vol_or.shape
+    nu, nv = geom.det_shape
+    u = jnp.arange(nu, dtype=dtype)[:, None]
+    v = jnp.arange(nv, dtype=dtype)[None, :]
+    x_idx = jnp.arange(nx, dtype=dtype)[:, None]
+    vz = jnp.arange(nv, dtype=dtype)[None, :]
+
+    K = slab_chunk
+    while ny % K:
+        K -= 1
+    n_chunks = ny // K
+    n_steps = geom.n_steps
+
+    # affine pieces shared across slabs
+    y0_uv = p.b1 + u * p.euy + v * p.evy                     # (nu, nv)
+    zeta_slope_x = p.gzx                                      # dζ/dx
+    # u_affine(x, v) pieces for pass A (affine inversion of the x map)
+    inv_eux = 1.0 / p.eux
+
+    if quad == "plane":
+        def slab_contrib(svals, slab_blk):
+            # svals (K,), slab_blk (K, nx, nz)
+            cx = p.cxb + p.rx * svals                          # (K,)
+            cz = p.czb + p.rz * svals
+            zeta = (cz[:, None, None]
+                    + p.gzx * (x_idx[None] - cx[:, None, None])
+                    + vz[None] * (p.evz - p.gzx * p.evx))      # (K, nx, nv)
+            tA = _lerp_rows(slab_blk, zeta)                    # (K, nx, nv)
+            tB = tA.transpose(0, 2, 1)                         # (K, nv, nx)
+            X = (cx[:, None, None] + p.evx * vz.T[None]
+                 + p.eux * u.T[None])                          # (K, nv, nu)
+            out = _lerp_rows(tB, X)                            # (K, nv, nu)
+            return jnp.sum(out, axis=0).T                      # (nu, nv)
+
+        def body(acc, c):
+            s0 = c * K
+            svals = s0.astype(dtype) + jnp.arange(K, dtype=dtype)
+            blk = lax.dynamic_slice_in_dim(vol_or, s0, K, axis=1)
+            return acc + slab_contrib(svals, blk.transpose(1, 0, 2)), None
+
+        acc0 = jnp.zeros((nu, nv), dtype=dtype)
+        acc, _ = lax.scan(body, acc0, jnp.arange(n_chunks))
+        return acc * (jnp.asarray(geom.step_size, dtype) / p.edy)
+
+    assert quad == "arc"
+    n_branch = _n_branch(geom.step_size)
+
+    def slab_contrib(svals, pair_blk):
+        # svals (K,) source-slab indices r; pair_blk (K, 2, nx, nz) rows
+        # r and r+1 (row r+1 zero-padded at the top edge).
+        r = svals
+        cx = p.cxb + p.rx * r                                  # (K,)
+        cz = p.czb + p.rz * r
+        # per-sample march index (K, nu, nv)
+        jreal = (r[:, None, None] - y0_uv[None]) / p.edy
+        jb = jnp.ceil(jreal)
+        out = jnp.zeros((nu, nv), dtype=dtype)
+        # pass-A sample coordinates via affine inversion u_aff(x, v)
+        u_aff = ((x_idx[None] - cx[:, None, None] - vz[None] * p.evx)
+                 * inv_eux)                                    # (K, nx, nv)
+        y0_xv = p.b1 + u_aff * p.euy + vz[None] * p.evy
+        jreal_xv = (r[:, None, None] - y0_xv) / p.edy
+        cf_xv = jnp.ceil(jreal_xv) - jreal_xv                  # [0, 1)
+        zeta_aff = (cz[:, None, None]
+                    + p.gzx * (x_idx[None] - cx[:, None, None]
+                               - vz[None] * p.evx)
+                    + vz[None] * p.evz)
+        for b in range(n_branch):
+            j = jb + b                                         # (K, nu, nv)
+            cfb = j - jreal
+            fy = p.edy * cfb
+            ok = (j >= 0) & (j < n_steps) & (fy < 1.0)
+            X = (cx[:, None, None] + u[None] * p.eux
+                 + v[None] * p.evx + p.edx * cfb)              # (K, nu, nv)
+            zeta = zeta_aff + p.edz * (cf_xv + b)              # (K, nx, nv)
+            zeta2 = jnp.broadcast_to(zeta[:, None], (K, 2, nx, nv))
+            tA = _lerp_rows(pair_blk.reshape(K * 2, nx, nz),
+                            zeta2.reshape(K * 2, nx, nv))
+            tA = tA.reshape(K, 2, nx, nv)
+            tB_in = tA.transpose(0, 1, 3, 2)                   # (K,2,nv,nx)
+            Xt = X.transpose(0, 2, 1)                          # (K, nv, nu)
+            Xt2 = jnp.broadcast_to(Xt[:, None], (K, 2, nv, nu))
+            vals = _lerp_rows(tB_in.reshape(K * 2, nv, nx),
+                              Xt2.reshape(K * 2, nv, nu))
+            vals = vals.reshape(K, 2, nv, nu).transpose(0, 1, 3, 2)
+            contrib = (1.0 - fy) * vals[:, 0] + fy * vals[:, 1]
+            out = out + jnp.sum(jnp.where(ok, contrib, 0.0), axis=0)
+        return out
+
+    # pad one zero slab at the top so the pair (ny-1, ny) is well-formed;
+    # prepend one zero slab for source-slab r = -1 (samples entering the
+    # volume from below contribute fy-weighted reads of slab 0).
+    volp = jnp.pad(vol_or, ((0, 0), (1, 1), (0, 0)))
+
+    def body(acc, c):
+        s0 = c * K
+        svals = s0.astype(dtype) + jnp.arange(K, dtype=dtype) - 1.0
+        blk = lax.dynamic_slice_in_dim(volp, s0, K + 1, axis=1)
+        blk = blk.transpose(1, 0, 2)                           # (K+1, nx, nz)
+        pair = jnp.stack([blk[:-1], blk[1:]], axis=1)          # (K, 2, nx, nz)
+        return acc + slab_contrib(svals, pair), None
+
+    # source slabs r = -1 .. ny-1  → ny+1 values, chunked
+    n_src = ny + 1
+    Ks = K
+    while n_src % Ks:
+        Ks -= 1
+    if Ks != K:
+        # fall back to per-slab chunks that divide ny+1
+        K = Ks
+        n_chunks = n_src // K
+    else:
+        n_chunks = n_src // K
+    acc0 = jnp.zeros((nu, nv), dtype=dtype)
+    acc, _ = lax.scan(body, acc0, jnp.arange(n_chunks))
+    return acc
+
+
+def forward_view(vol, geom: Geometry, phi, alpha, beta, t, cor, *,
+                 dtype=jnp.float32, quad: str = "arc",
+                 swap: bool | None = None, yflip: bool | None = None):
+    """Slab-marching forward projection of one view → ``(n_det,)`` u-major.
+
+    ``swap``/``yflip`` are the static orientation flags (from
+    :func:`orient_flags`); None → compute host-side from concrete params
+    (works only outside jit)."""
+    vol = jnp.asarray(vol).reshape(geom.vox_shape).astype(dtype)
+    if swap is None or yflip is None:
+        edx = -np.sin(float(phi)) * np.cos(float(alpha))
+        edy = np.cos(float(phi)) * np.cos(float(alpha))
+        swap = bool(abs(edx) > abs(edy))
+        yflip = bool((edx if swap else edy) < 0.0)
+    vol_or = orient_volume(vol, geom, swap, yflip)
+    E, B = view_affine(geom, phi, alpha, beta, t, cor, dtype)
+    E, B = orient_affine(E, B, vol_or.shape[1], swap, yflip, dtype)
+    p = slab_params(E, B, dtype)
+    out = _forward_oriented_xla(vol_or, p, geom, quad=quad, dtype=dtype)
+    return out.reshape(-1)
+
+
+def _take_views(views: Views, idx) -> Views:
+    return jax.tree.map(lambda a: a[idx], views)
+
+
+def _project_group(vol, geom: Geometry, views: Views, swap: bool,
+                   yflip: bool, quad: str, dtype, views_chunk=None):
+    vol_or = orient_volume(jnp.asarray(vol).astype(dtype), geom, swap, yflip)
+
+    def f(vw):
+        E, B = view_affine(geom, vw.phi, vw.alpha, vw.beta, vw.t, vw.cor,
+                           dtype)
+        E, B = orient_affine(E, B, vol_or.shape[1], swap, yflip, dtype)
+        p = slab_params(E, B, dtype)
+        return _forward_oriented_xla(vol_or, p, geom, quad=quad,
+                                     dtype=dtype).reshape(-1)
+
+    n = views.n_proj
+    chunk = views_chunk or max(1, min(n, (1 << 26) // max(1, geom.n_vox)))
+    chunk = max(1, min(chunk, n))
+    while n % chunk:
+        chunk -= 1
+    if chunk >= n:
+        return jax.vmap(f)(views)
+    views_c = jax.tree.map(lambda a: a.reshape(n // chunk, chunk,
+                                               *a.shape[1:]), views)
+    out = lax.map(jax.vmap(f), views_c)
+    return out.reshape(n, -1)
+
+
+def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
+            quad: str = "arc", views_chunk: int | None = None):
+    """Multi-view slab forward → ``(n_proj, n_det)``.
+
+    Views are grouped host-side by orientation (swap, yflip); each group
+    shares one oriented volume variant, no in-graph branching."""
+    nx, ny, _ = geom.vox_shape
+    assert nx == ny, "slab family requires nx == ny (square x-y footprint)"
+    swaps, yflips = orient_flags(views)
+    n = views.n_proj
+    out = jnp.zeros((n, geom.n_det), dtype=dtype)
+    for sw in (False, True):
+        for yf in (False, True):
+            idx = np.nonzero((swaps == sw) & (yflips == yf))[0]
+            if idx.size == 0:
+                continue
+            part = _project_group(vol, geom, _take_views(views, idx), sw,
+                                  yf, quad, dtype, views_chunk)
+            out = out.at[jnp.asarray(idx)].set(part)
+    return out
+
+
+def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
+                quad: str = "arc", views_chunk: int | None = None):
+    """Exact adjoint of :func:`project` (via vjp of the linear forward)."""
+    swaps, yflips = orient_flags(views)
+    sino = sino.reshape(views.n_proj, geom.n_det).astype(dtype)
+    acc = jnp.zeros(geom.vox_shape, dtype)
+    for sw in (False, True):
+        for yf in (False, True):
+            idx = np.nonzero((swaps == sw) & (yflips == yf))[0]
+            if idx.size == 0:
+                continue
+            sub = _take_views(views, jnp.asarray(idx))
+            fwd = lambda vv: _project_group(vv, geom, sub, sw, yf, quad,
+                                            dtype, views_chunk)
+            _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
+            (vol_bar,) = vjp_fn(sino[jnp.asarray(idx)])
+            acc = acc + vol_bar
+    return acc
