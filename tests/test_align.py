@@ -236,3 +236,28 @@ def test_fast_family_gradient_descent(align_problem):
     got = np.asarray(res.theta6)
     assert abs(got[0] - 0.8) < 0.05
     assert abs(got[2] + 0.5) < 0.05
+
+
+def test_com_align_recovers_translations():
+    """COM-consistency pre-alignment: drift-free per-view (tx, tz) to
+    ~0.1 px under +-1 deg tilt jitter (the pairwise chain this replaces
+    drifts by more than the jitter at coarse angular steps)."""
+    from tomojax.align import com_align
+    n, n_proj = 32, 48
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    rng = np.random.default_rng(0)
+    phi = np.linspace(0, np.pi, n_proj, endpoint=False)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-3, 3, n_proj)
+    t[:, 2] = rng.uniform(-3, 3, n_proj)
+    views = Views.create(n_proj, phi=phi, t=t,
+                         alpha=rng.uniform(-0.017, 0.017, n_proj),
+                         beta=rng.uniform(-0.017, 0.017, n_proj))
+    meas = projector.project(vol, geom, views)
+    est = np.asarray(com_align(meas, geom, phi))
+    res = est - t[:, [0, 2]]
+    res -= res.mean(axis=0)           # volume-shift gauge
+    assert np.abs(res).mean() < 0.3, np.abs(res).mean()
+    raw = np.abs(t[:, [0, 2]]).mean()
+    assert np.abs(res).mean() < 0.2 * raw

@@ -135,3 +135,20 @@ def test_volume_sharded_voxel_operator(problem):
     from tomojax.recon import sirt as _sirt
     r = _sirt(opv_sh, opv_sh.A(vol), niter=5)
     assert np.isfinite(np.asarray(r.x)).all()
+
+
+def test_sharded_slab_matches_single_device(problem):
+    """Slab-family sharded operator (build-time octant grouping, scalars
+    sharded over proj) equals the single-device slab family."""
+    vol, geom, views, op, b = problem
+    from tomojax.core import slab_projector as slabp
+    mesh = make_mesh(8, 1)
+    for fam, quad in (("slab", "arc"), ("slab_plane", "plane")):
+        ops = make_sharded_operator(geom, views, mesh, dtype=F32,
+                                    family=fam)
+        ref_A = slabp.project(vol, geom, views, dtype=F32, quad=quad)
+        np.testing.assert_allclose(ops.A(vol), ref_A, rtol=2e-5, atol=2e-5)
+        y = jnp.asarray(
+            np.random.default_rng(3).standard_normal(ref_A.shape), F32)
+        ref_AT = slabp.backproject(y, geom, views, dtype=F32, quad=quad)
+        np.testing.assert_allclose(ops.AT(y), ref_AT, rtol=2e-4, atol=2e-4)

@@ -166,16 +166,17 @@ def cmd_align(args):
     views0 = Views.create(n_proj, phi=d["phi"])  # phi known, jitter unknown
 
     if cfg.align.pre_align_cc:
-        offsets, _ = cross_correlation_chain(proj)
-        # the detector co-rotates with the beam, so a (tx, tz) object shift
-        # moves the projection by exactly (+tx, +tz) in (row=u, col=v) at
-        # any phi; chain offsets therefore estimate +t per view (with the
-        # usual slowly-accumulating rotation-drift bias of pairwise chains)
+        # center-of-mass consistency pre-alignment: drift-free per-view
+        # (tx, tz) (replaces the pairwise CC chain, whose rotation-induced
+        # drift can exceed the jitter at coarse angular steps)
+        from tomojax.align import com_align
+        est = np.asarray(com_align(proj, geom, d["phi"]))
         t0 = np.zeros((n_proj, 3), np.float32)
-        t0[:, 0] = np.asarray(offsets)[:, 0]
-        t0[:, 2] = np.asarray(offsets)[:, 1]
+        t0[:, 0] = est[:, 0]
+        t0[:, 2] = est[:, 1]
         views0 = Views.create(n_proj, phi=d["phi"], t=t0)
-        print("CC pre-alignment applied")
+        print("COM pre-alignment applied "
+              f"(mean |t| = {np.abs(est).mean():.2f} px)")
 
     a = cfg.align
     # phi is unbounded (as in _default_bounds): the mask decides whether phi

@@ -53,20 +53,60 @@ from tomojax.core.rotations import rot_x, rot_z
 _PERM_SWAP = np.array([[0, 1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
 
 
-def orient_flags(views: Views) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side per-view orientation: (swap x/y, flip marching axis).
+def _np_rot(phi, alpha, beta):
+    """(n, 3, 3) rotation R = R_z(phi) R_x(alpha) R_y(beta), numpy f64
+    (same conventions as ``core.rotations``)."""
+    cp, sp = np.cos(phi), np.sin(phi)
+    ca, sa = np.cos(alpha), np.sin(alpha)
+    cb, sb = np.cos(beta), np.sin(beta)
+    n = np.broadcast(phi, alpha, beta).shape or (1,)
+    z = np.zeros(np.shape(cp))
+    o = np.ones(np.shape(cp))
+    Rz = np.stack([np.stack([cp, -sp, z], -1), np.stack([sp, cp, z], -1),
+                   np.stack([z, z, o], -1)], -2)
+    Rx = np.stack([np.stack([o, z, z], -1), np.stack([z, ca, -sa], -1),
+                   np.stack([z, sa, ca], -1)], -2)
+    Ry = np.stack([np.stack([cb, z, sb], -1), np.stack([z, o, z], -1),
+                   np.stack([-sb, z, cb], -1)], -2)
+    return Rz @ Rx @ Ry
 
-    March direction is the rotated ŷ (``ED = R[:, 1]``, independent of
-    beta): swap iff ``|ED_x| > |ED_y|``; after the swap, flip iff the
-    dominant component is negative (so the slab loop always marches in +y
-    of the oriented volume)."""
+
+def _np_oriented_E(geom: Geometry, views: Views):
+    """Per-view oriented affine columns (numpy): returns
+    (E (n,3,3), swap, yflip, uflip) with EDy > 0 and EUx' > 0 in the
+    oriented frame. E columns are (EU, EV, ED) BEFORE translation (flips
+    of B are applied separately where needed)."""
     phi = np.asarray(views.phi, np.float64)
     alpha = np.asarray(views.alpha, np.float64)
-    edx = -np.sin(phi) * np.cos(alpha)
-    edy = np.cos(phi) * np.cos(alpha)
-    swap = np.abs(edx) > np.abs(edy)
-    dom = np.where(swap, edx, edy)
-    return swap, dom < 0.0
+    beta = np.asarray(views.beta, np.float64)
+    R = _np_rot(phi, alpha, beta)
+    du, dv = geom.det_pix
+    E = np.stack([du * R[:, :, 0], dv * R[:, :, 2],
+                  geom.step_size * R[:, :, 1]], axis=-1)  # (n, 3, 3)
+    swap = np.abs(E[:, 0, 2]) > np.abs(E[:, 1, 2])
+    Eo = E.copy()
+    Eo[swap] = Eo[swap][:, [1, 0, 2], :]
+    yflip = Eo[:, 1, 2] < 0.0
+    Eo[yflip, 1, :] *= -1.0
+    rx = Eo[:, 0, 2] / Eo[:, 1, 2]
+    eux = Eo[:, 0, 0] - rx * Eo[:, 1, 0]
+    uflip = eux < 0.0
+    Eo[uflip, :, 0] *= -1.0
+    return Eo, swap, yflip, uflip
+
+
+def orient_flags(views: Views, geom: Geometry | None = None):
+    """Host-side per-view orientation flags (swap x/y, y-flip, u-flip).
+
+    March direction is the rotated ŷ (``ED = R[:, 1]``): swap iff
+    ``|ED_x| > |ED_y|``; y-flip makes the dominant component positive
+    (slab loop marches +y of the oriented volume); u-flip makes the
+    in-plane x-per-detector-u slope positive (kernel requirement; an exact
+    detector-row permutation)."""
+    g = geom if geom is not None else Geometry(
+        n_proj=views.n_proj, vox_shape=(8, 8, 8), det_shape=(8, 8))
+    _, swap, yflip, uflip = _np_oriented_E(g, views)
+    return swap, yflip, uflip
 
 
 def orient_volume(vol, geom: Geometry, swap: bool, yflip: bool):
@@ -79,8 +119,12 @@ def orient_volume(vol, geom: Geometry, swap: bool, yflip: bool):
     return v
 
 
-def orient_affine(E, B, ny_oriented: int, swap: bool, yflip: bool, dtype):
-    """Transform the (u, v, j) → volume affine map into the oriented frame."""
+def orient_affine(E, B, ny_oriented: int, swap: bool, yflip: bool, dtype,
+                  uflip: bool = False, nu: int = 0):
+    """Transform the (u, v, j) → volume affine map into the oriented frame.
+
+    ``uflip`` reverses the detector-u index (u → nu-1-u): an exact row
+    permutation of the sinogram, undone by the caller."""
     if swap:
         perm = jnp.asarray(_PERM_SWAP, dtype)
         E = _mm(perm, E)
@@ -89,6 +133,9 @@ def orient_affine(E, B, ny_oriented: int, swap: bool, yflip: bool, dtype):
         # y -> (ny - 1) - y
         B = B.at[1].set((ny_oriented - 1.0) - B[1])
         E = E.at[1].set(-E[1])
+    if uflip:
+        B = B + (nu - 1.0) * E[:, 0]
+        E = E.at[:, 0].multiply(-1.0)
     return E, B
 
 
@@ -285,10 +332,11 @@ def forward_view(vol, geom: Geometry, phi, alpha, beta, t, cor, *,
     (works only outside jit)."""
     vol = jnp.asarray(vol).reshape(geom.vox_shape).astype(dtype)
     if swap is None or yflip is None:
-        edx = -np.sin(float(phi)) * np.cos(float(alpha))
-        edy = np.cos(float(phi)) * np.cos(float(alpha))
-        swap = bool(abs(edx) > abs(edy))
-        yflip = bool((edx if swap else edy) < 0.0)
+        vw = Views.create(1, phi=np.asarray([float(phi)]),
+                          alpha=np.asarray([float(alpha)]),
+                          beta=np.asarray([float(beta)]))
+        sw, yf, _ = orient_flags(vw, geom)
+        swap, yflip = bool(sw[0]), bool(yf[0])
     vol_or = orient_volume(vol, geom, swap, yflip)
     E, B = view_affine(geom, phi, alpha, beta, t, cor, dtype)
     E, B = orient_affine(E, B, vol_or.shape[1], swap, yflip, dtype)
@@ -301,17 +349,172 @@ def _take_views(views: Views, idx) -> Views:
     return jax.tree.map(lambda a: a[idx], views)
 
 
+# ----------------------------------------------------------------------
+# Pallas routing (TPU): numpy per-view scalars + custom_vjp wrapper
+# ----------------------------------------------------------------------
+
+
+def _use_slab_kernel(geom: Geometry, dtype) -> bool:
+    import os
+    # opt-in while the fused kernel's non-axis orientation groups are
+    # being validated (phi=0/180 groups match XLA to 1e-6; diagonal
+    # octants still under debug) — flip the default once green
+    if not os.environ.get("TOMOJAX_SLAB_KERNEL"):
+        return False
+    if os.environ.get("TOMOJAX_NO_PALLAS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    if backend != "tpu" or dtype != jnp.float32:
+        return False
+    from tomojax.kernels import slab as slabk
+    return slabk.kernel_supported(geom)
+
+
+def slab_scalars_np(geom: Geometry, views: Views, swap: bool, yflip: bool,
+                    uflip: bool, quad: str) -> np.ndarray:
+    """(V, NS) kernel scalar vectors, computed host-side in f64 numpy
+    (views are concrete when operators are built)."""
+    from tomojax.kernels import slab as slabk
+    phi = np.asarray(views.phi, np.float64)
+    alpha = np.asarray(views.alpha, np.float64)
+    beta = np.asarray(views.beta, np.float64)
+    t = np.asarray(views.t, np.float64)
+    cor = np.asarray(views.cor, np.float64)
+    R = _np_rot(phi, alpha, beta)
+    Rpa = _np_rot(phi, alpha, np.zeros_like(beta))
+    du, dv = geom.det_pix
+    E = np.stack([du * R[:, :, 0], dv * R[:, :, 2],
+                  geom.step_size * R[:, :, 1]], axis=-1)
+    nu, nv = geom.det_shape
+    su, sv = geom.det_size
+    s0 = np.stack([np.full_like(phi, -su / 2.0 + 0.5) + cor[:, 0],
+                   np.full_like(phi, -geom.vox_size[1]),
+                   np.full_like(phi, -sv / 2.0 + 0.5)], axis=-1)
+    origin = geom.vox_origin_np()
+    B = (np.einsum("nij,nj->ni", R, s0)
+         + np.einsum("nij,nj->ni", Rpa, t) - origin[None, :])
+
+    nx, ny, nz = geom.vox_shape
+    ny_o = ny
+    if swap:
+        perm = _PERM_SWAP
+        E = np.einsum("ij,njk->nik", perm, E)
+        B = np.einsum("ij,nj->ni", perm, B)
+        ny_o = nx
+    if yflip:
+        B[:, 1] = (ny_o - 1.0) - B[:, 1]
+        E[:, 1, :] *= -1.0
+    if uflip:
+        B = B + (nu - 1.0) * E[:, :, 0]
+        E[:, :, 0] *= -1.0
+
+    EU, EV, ED = E[:, :, 0], E[:, :, 1], E[:, :, 2]
+    edy = ED[:, 1]
+    rx = ED[:, 0] / edy
+    rz = ED[:, 2] / edy
+    eux = EU[:, 0] - rx * EU[:, 1]
+    evx = EV[:, 0] - rx * EV[:, 1]
+    euz = EU[:, 2] - rz * EU[:, 1]
+    evz = EV[:, 2] - rz * EV[:, 1]
+    gzx = euz / eux
+    inv_edy = 1.0 / edy
+    inv_eux = 1.0 / eux
+    euy_ieux = EU[:, 1] * inv_eux
+    sc = np.zeros((len(phi), slabk.NS), np.float64)
+    sc[:, slabk.S_EDY] = edy
+    sc[:, slabk.S_EDX] = ED[:, 0]
+    sc[:, slabk.S_EDZ] = ED[:, 2]
+    sc[:, slabk.S_RX] = rx
+    sc[:, slabk.S_RZ] = rz
+    sc[:, slabk.S_EUX] = eux
+    sc[:, slabk.S_EVX] = evx
+    sc[:, slabk.S_EVZ] = evz
+    sc[:, slabk.S_CXB] = B[:, 0] - rx * B[:, 1]
+    sc[:, slabk.S_CZB] = B[:, 2] - rz * B[:, 1]
+    sc[:, slabk.S_GZX] = gzx
+    sc[:, slabk.S_B1] = B[:, 1]
+    sc[:, slabk.S_EUY] = EU[:, 1]
+    sc[:, slabk.S_EVY] = EV[:, 1]
+    sc[:, slabk.S_INV_EDY] = inv_edy
+    sc[:, slabk.S_WAX] = -euy_ieux * inv_edy
+    sc[:, slabk.S_WAV] = (euy_ieux * evx - EV[:, 1]) * inv_edy
+    sc[:, slabk.S_SCALE] = (geom.step_size * inv_edy if quad == "plane"
+                            else 1.0)
+    sc[:, slabk.S_INV_EUX] = inv_eux
+    sc[:, slabk.S_EUYIEUX] = euy_ieux
+    sc[:, slabk.S_ZAV] = evz - gzx * evx
+    return sc
+
+
+def params_from_scalars(sc) -> SlabParams:
+    """Rebuild :class:`SlabParams` from one kernel scalar row (enables the
+    XLA path inside ``shard_map`` where views are traced but the host
+    computed the scalars at operator build)."""
+    from tomojax.kernels import slab as k
+    return SlabParams(
+        edy=sc[k.S_EDY], edx=sc[k.S_EDX], edz=sc[k.S_EDZ],
+        rx=sc[k.S_RX], rz=sc[k.S_RZ], eux=sc[k.S_EUX], evx=sc[k.S_EVX],
+        euz=sc[k.S_GZX] * sc[k.S_EUX], evz=sc[k.S_EVZ],
+        cxb=sc[k.S_CXB], czb=sc[k.S_CZB], gzx=sc[k.S_GZX],
+        b1=sc[k.S_B1], euy=sc[k.S_EUY], evy=sc[k.S_EVY])
+
+
+def forward_from_scalars_xla(vol_or, sc_row, geom: Geometry, quad: str,
+                             dtype=jnp.float32):
+    """One oriented view from a kernel scalar row (XLA path) → (nu, nv)."""
+    p = jax.tree.map(lambda a: a.astype(dtype), params_from_scalars(sc_row))
+    return _forward_oriented_xla(vol_or, p, geom, quad=quad, dtype=dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _apply_kernel(vol_or, scalars, geom, quad):
+    from tomojax.kernels import slab as slabk
+    return slabk.slab_project_pallas(vol_or, scalars, geom, quad)
+
+
+def _apply_kernel_fwd(vol_or, scalars, geom, quad):
+    return _apply_kernel(vol_or, scalars, geom, quad), scalars
+
+
+def _apply_kernel_bwd(geom, quad, scalars, g):
+    from tomojax.kernels import slab as slabk
+    vol_bar = slabk.slab_backproject_pallas(g, scalars, geom, quad)
+    return vol_bar, jnp.zeros_like(scalars)
+
+
+_apply_kernel.defvjp(_apply_kernel_fwd, _apply_kernel_bwd)
+
+
 def _project_group(vol, geom: Geometry, views: Views, swap: bool,
-                   yflip: bool, quad: str, dtype, views_chunk=None):
+                   yflip: bool, uflip: bool, quad: str, dtype,
+                   views_chunk=None):
     vol_or = orient_volume(jnp.asarray(vol).astype(dtype), geom, swap, yflip)
+    nu, nv = geom.det_shape
+
+    if _use_slab_kernel(geom, dtype):
+        sc_np = slab_scalars_np(geom, views, swap, yflip, uflip, quad)
+        from tomojax.kernels import slab as slabk
+        if slabk.kernel_bounds_ok(sc_np):
+            sino = _apply_kernel(vol_or, jnp.asarray(sc_np, jnp.float32),
+                                 geom, quad)                   # (V, nu, nv)
+            if uflip:
+                sino = sino[:, ::-1, :]
+            return sino.reshape(views.n_proj, -1)
 
     def f(vw):
         E, B = view_affine(geom, vw.phi, vw.alpha, vw.beta, vw.t, vw.cor,
                            dtype)
-        E, B = orient_affine(E, B, vol_or.shape[1], swap, yflip, dtype)
+        E, B = orient_affine(E, B, vol_or.shape[1], swap, yflip, dtype,
+                             uflip, nu)
         p = slab_params(E, B, dtype)
-        return _forward_oriented_xla(vol_or, p, geom, quad=quad,
-                                     dtype=dtype).reshape(-1)
+        out = _forward_oriented_xla(vol_or, p, geom, quad=quad,
+                                    dtype=dtype)
+        if uflip:
+            out = out[::-1, :]
+        return out.reshape(-1)
 
     n = views.n_proj
     chunk = views_chunk or max(1, min(n, (1 << 26) // max(1, geom.n_vox)))
@@ -326,43 +529,51 @@ def _project_group(vol, geom: Geometry, views: Views, swap: bool,
     return out.reshape(n, -1)
 
 
+def _orient_groups(views: Views, geom: Geometry):
+    swaps, yflips, uflips = orient_flags(views, geom)
+    for sw in (False, True):
+        for yf in (False, True):
+            for uf in (False, True):
+                idx = np.nonzero((swaps == sw) & (yflips == yf)
+                                 & (uflips == uf))[0]
+                if idx.size:
+                    yield idx, sw, yf, uf
+
+
 def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
             quad: str = "arc", views_chunk: int | None = None):
     """Multi-view slab forward → ``(n_proj, n_det)``.
 
-    Views are grouped host-side by orientation (swap, yflip); each group
-    shares one oriented volume variant, no in-graph branching."""
+    Views are grouped host-side by orientation (swap, yflip, uflip); each
+    group shares one oriented volume variant, no in-graph branching. On
+    TPU each group runs through the fused Pallas kernel
+    (``tomojax.kernels.slab``)."""
     nx, ny, _ = geom.vox_shape
     assert nx == ny, "slab family requires nx == ny (square x-y footprint)"
-    swaps, yflips = orient_flags(views)
+    # views must be concrete (host-side orientation grouping + kernel
+    # scalars); snap to numpy so jit's op-staging can't trace them
+    views = jax.tree.map(np.asarray, views)
     n = views.n_proj
     out = jnp.zeros((n, geom.n_det), dtype=dtype)
-    for sw in (False, True):
-        for yf in (False, True):
-            idx = np.nonzero((swaps == sw) & (yflips == yf))[0]
-            if idx.size == 0:
-                continue
-            part = _project_group(vol, geom, _take_views(views, idx), sw,
-                                  yf, quad, dtype, views_chunk)
-            out = out.at[jnp.asarray(idx)].set(part)
+    for idx, sw, yf, uf in _orient_groups(views, geom):
+        part = _project_group(vol, geom, _take_views(views, idx), sw, yf,
+                              uf, quad, dtype, views_chunk)
+        out = out.at[jnp.asarray(idx)].set(part)
     return out
 
 
 def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
                 quad: str = "arc", views_chunk: int | None = None):
-    """Exact adjoint of :func:`project` (via vjp of the linear forward)."""
-    swaps, yflips = orient_flags(views)
+    """Exact adjoint of :func:`project` (vjp of the linear forward; on the
+    Pallas path this is the dedicated transpose kernel)."""
+    views = jax.tree.map(np.asarray, views)
     sino = sino.reshape(views.n_proj, geom.n_det).astype(dtype)
     acc = jnp.zeros(geom.vox_shape, dtype)
-    for sw in (False, True):
-        for yf in (False, True):
-            idx = np.nonzero((swaps == sw) & (yflips == yf))[0]
-            if idx.size == 0:
-                continue
-            sub = _take_views(views, jnp.asarray(idx))
-            fwd = lambda vv: _project_group(vv, geom, sub, sw, yf, quad,
-                                            dtype, views_chunk)
-            _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
-            (vol_bar,) = vjp_fn(sino[jnp.asarray(idx)])
-            acc = acc + vol_bar
+    for idx, sw, yf, uf in _orient_groups(views, geom):
+        sub = _take_views(views, idx)
+        fwd = lambda vv: _project_group(vv, geom, sub, sw, yf, uf, quad,
+                                        dtype, views_chunk)
+        _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
+        (vol_bar,) = vjp_fn(sino[jnp.asarray(idx)])
+        acc = acc + vol_bar
     return acc

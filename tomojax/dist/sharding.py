@@ -73,6 +73,12 @@ def make_sharded_operator(geom: Geometry, views: Views, mesh: Mesh, *,
     assert geom.n_det % n_rshard == 0, (geom.n_det, n_rshard)
     ray_count = geom.n_det // n_rshard
 
+    if family in ("slab", "slab_plane"):
+        assert n_rshard == 1, "slab family shards over 'proj' only"
+        return _make_slab_sharded(geom, views, mesh, n_pshard,
+                                  quad=("arc" if family == "slab"
+                                        else "plane"), dtype=dtype)
+
     if family == "fast":
         assert n_rshard == 1, "fast family shards over 'proj' only"
         from tomojax.core import fast_projector as fastp
@@ -155,6 +161,119 @@ def make_sharded_operator(geom: Geometry, views: Views, mesh: Mesh, *,
 
     return TomoOperator(geom=geom, views=views, A=A_fn, AT=AT_fn,
                         family="ray-sharded", dtype=dtype)
+
+
+def _make_slab_sharded(geom: Geometry, views: Views, mesh: Mesh,
+                       n_pshard: int, *, quad: str, dtype) -> TomoOperator:
+    """Angle-sharded slab-family operator with build-time octant grouping.
+
+    Views are grouped host-side by (swap, yflip, uflip) orientation at
+    operator build (they are concrete there), each group padded to a
+    ``proj``-axis multiple, and the per-view *kernel scalar vectors* —
+    not the views — are sharded into ``shard_map``. This removes the
+    in-graph ``lax.cond`` octant dispatch that made the sharded fast
+    family execute both octant branches (~2x forward cost, round-1
+    VERDICT item 7), and routes each shard through the fused Pallas slab
+    kernel on TPU (XLA scalar path on CPU meshes — bitwise the same
+    operator family)."""
+    from tomojax.core import slab_projector as slabp
+    from tomojax.kernels import slab as slabk
+
+    views_np = jax.tree.map(np.asarray, views)
+    n = views_np.n_proj
+
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    import os
+    use_kernel = (backend == "tpu" and not os.environ.get(
+        "TOMOJAX_NO_PALLAS") and slabk.kernel_supported(geom))
+
+    groups = []
+    for idx, sw, yf, uf in slabp._orient_groups(views_np, geom):
+        sub = jax.tree.map(lambda a: a[idx], views_np)
+        sc = slabp.slab_scalars_np(geom, sub, sw, yf, uf, quad)
+        if use_kernel and not slabk.kernel_bounds_ok(sc):
+            use_kernel = False
+        pad = (-len(idx)) % n_pshard
+        if pad:
+            sc = np.concatenate([sc, np.repeat(sc[-1:], pad, axis=0)])
+        groups.append((idx, sw, yf, uf,
+                       jnp.asarray(sc, jnp.float32), pad))
+
+    nu, nv = geom.det_shape
+
+    def _group_fns(sw, yf, uf):
+        def fwd_local(vol, sc_shard):
+            vol_or = slabp.orient_volume(vol, geom, sw, yf)
+            if use_kernel:
+                return slabk.slab_project_pallas(vol_or, sc_shard, geom,
+                                                 quad)
+            f = lambda row: slabp.forward_from_scalars_xla(
+                vol_or, row, geom, quad, dtype)
+            return jax.vmap(f)(sc_shard)
+
+        def adj_local(g_shard, sc_shard):
+            if use_kernel:
+                vol_or_bar = slabk.slab_backproject_pallas(
+                    g_shard, sc_shard, geom, quad)
+            else:
+                fwd = lambda v: jax.vmap(
+                    lambda row: slabp.forward_from_scalars_xla(
+                        v, row, geom, quad, dtype))(sc_shard)
+                _, vjp_fn = jax.vjp(fwd, jnp.zeros(
+                    slabp.orient_volume(jnp.zeros(geom.vox_shape, dtype),
+                                        geom, sw, yf).shape, dtype))
+                (vol_or_bar,) = vjp_fn(g_shard)
+            # the reference's volume-sized Allreduce (sirt_mpi.py:103)
+            vol_or_bar = lax.psum(vol_or_bar, ("proj", "ray"))
+            return vol_or_bar
+
+        A_g = shard_map(fwd_local, mesh=mesh, in_specs=(P(), P("proj")),
+                        out_specs=P("proj"), check_vma=False)
+        AT_g = shard_map(adj_local, mesh=mesh,
+                         in_specs=(P("proj"), P("proj")), out_specs=P(),
+                         check_vma=False)
+        return A_g, AT_g
+
+    fns = {(sw, yf, uf): _group_fns(sw, yf, uf)
+           for _, sw, yf, uf, _, _ in groups}
+
+    def A_fn(x):
+        vol = x.reshape(geom.vox_shape).astype(dtype)
+        out = jnp.zeros((n, geom.n_det), dtype=dtype)
+        for idx, sw, yf, uf, sc, pad in groups:
+            sino = fns[(sw, yf, uf)][0](vol, sc)       # (Vg+pad, nu, nv)
+            if pad:
+                sino = sino[:len(idx)]
+            if uf:
+                sino = sino[:, ::-1, :]
+            out = out.at[jnp.asarray(idx)].set(sino.reshape(len(idx), -1))
+        return out
+
+    def AT_fn(y):
+        y = y.reshape(n, geom.n_det).astype(dtype)
+        acc = jnp.zeros(geom.vox_shape, dtype)
+        for idx, sw, yf, uf, sc, pad in groups:
+            g = y[jnp.asarray(idx)].reshape(len(idx), nu, nv)
+            if uf:
+                g = g[:, ::-1, :]
+            if pad:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((pad, nu, nv), dtype)], axis=0)
+            vol_or_bar = fns[(sw, yf, uf)][1](g, sc)
+            # un-orient: inverse of orient_volume (yflip then transpose)
+            if yf:
+                vol_or_bar = vol_or_bar[:, ::-1, :]
+            if sw:
+                vol_or_bar = vol_or_bar.transpose(1, 0, 2)
+            acc = acc + vol_or_bar
+        return acc
+
+    return TomoOperator(geom=geom, views=views, A=A_fn, AT=AT_fn,
+                        family=f"{'slab' if quad == 'arc' else 'slab_plane'}"
+                               "-sharded", dtype=dtype)
 
 
 def sharded_refine_views(vol, projections, geom: Geometry, views: Views,

@@ -1,0 +1,477 @@
+"""Fused Pallas TPU kernel for the slab-marching projector family.
+
+One kernel invocation computes a whole batch of same-orientation views:
+grid = (view, slab-chunk). Per grid step the kernel consumes K+1 volume
+slabs (pre-windowed host-side into an overlapped (C, K+1, nx, NZP) array so
+Pallas auto-pipelines the HBM→VMEM transfers) and accumulates the view's
+sinogram block in VMEM; the sinogram is written back once per view.
+
+Math identical to ``slab_projector._forward_oriented_xla`` (same operator,
+f32): per source slab r and branch b the arc samples sit at
+
+    X(u,v) = cx_r + u*eux + v*evx + edx*cfb(u,v)
+    fy     = edy*cfb,   cfb = ceil(w_uv) + b - w_uv        (the sawtooth)
+
+and contribute ``(1-fy)*bilerp(slab_r) + fy*bilerp(slab_{r+1})``
+(reference arc quadrature, ``ray_voxel_utilities.py:88-94``); plane mode is
+the single-sided single-branch subset scaled by ``step/edy``.
+
+TPU mapping (constraints probed on v5e Mosaic):
+
+- pass A (z-interp, slope ≈ +1): z-taps track the detector-v lane index
+  along a diagonal, so each band is a *static* lane slice of the slab
+  row-group (static unaligned lane offsets are legal; dynamic ones are
+  not). Only ~AWIN of the static band range are active per (group, slab),
+  selected by scalar ``pl.when`` gates.
+- pass B (x-interp, |slope| up to ~1.8): banded one-hot selection matmul
+  on the MXU. The forward builds the selection once per view as 8 copies
+  shifted by r8 = 0..7 (dynamic sublane windows must be 8-aligned; the
+  per-(slab, branch) anchor residual picks the copy via a traced leading
+  index). The adjoint's view changes every grid step, so it instead folds
+  r8 into 8 extra bands of a single per-step selection.
+- selection is exact in bf16 (0/1); f32 operands are split hi/lo into two
+  bf16 MXU passes (~4e-6 faithful).
+- per-element hat weights, the fy slab-pair blend, and march-range masks
+  run on the VPU with exact per-sample positions (iotas + SMEM scalars).
+
+The adjoint kernel transposes the dataflow: slab-major grid so each output
+slab block stays VMEM-resident while every view accumulates into it
+(volume written to HBM exactly once per apply, regardless of view count).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---- static configuration -------------------------------------------------
+PADZ = 24          # z pads (lanes) each side of the slab
+XP = 64            # x pad (sublanes) below T's interior
+XPH = 256          # x pad above (windows anchor at their bottom and
+#                    extend WINB rows; taps occupy only the low
+#                    ~|eux|*UCH+NBB of that, the rest reads zero pad)
+UCH = 128          # u-chunk (pass-B matmul LHS granularity)
+VCH = 128          # v-chunk (pass-B weight-tile lanes)
+NBB = 8            # pass-B bands (forward; adjoint uses NBB + 7)
+WINB = 256         # pass-B T-row window (holds 8 + |eux|*(UCH-1) + NBB)
+AWIN = 7           # pass-A active bands per group
+NS = 21            # scalar count
+
+(S_EDY, S_EDX, S_EDZ, S_RX, S_RZ, S_EUX, S_EVX, S_EVZ, S_CXB, S_CZB,
+ S_GZX, S_B1, S_EUY, S_EVY, S_INV_EDY, S_WAX, S_WAV, S_SCALE, S_INV_EUX,
+ S_EUYIEUX, S_ZAV) = range(NS)
+
+
+def view_scalar_vector(p, step_size, quad, dtype=jnp.float32):
+    """Pack per-view SlabParams into the kernel scalar vector."""
+    inv_edy = 1.0 / p.edy
+    inv_eux = 1.0 / p.eux
+    euy_ieux = p.euy * inv_eux
+    wax = -euy_ieux * inv_edy
+    wav = (euy_ieux * p.evx - p.evy) * inv_edy
+    zav = p.evz - p.gzx * p.evx
+    scale = (jnp.asarray(step_size, dtype) * inv_edy if quad == "plane"
+             else jnp.asarray(1.0, dtype))
+    return jnp.stack([
+        p.edy, p.edx, p.edz, p.rx, p.rz, p.eux, p.evx, p.evz, p.cxb,
+        p.czb, p.gzx, p.b1, p.euy, p.evy, inv_edy, wax, wav, scale,
+        inv_eux, euy_ieux, zav]).astype(dtype)
+
+
+def _build_selection(eux, nbb, shifted: bool):
+    """Selection one-hots: taps ``k0(du) + m (+ r8)``.
+
+    shifted=True → (8, nbb*UCH, WINB) with the r8 leading axis (forward);
+    shifted=False → (nbb*UCH, WINB) single copy (adjoint)."""
+    if shifted:
+        col = lax.broadcasted_iota(jnp.int32, (8, nbb * UCH, WINB), 2)
+        row = lax.broadcasted_iota(jnp.int32, (8, nbb * UCH, WINB), 1)
+        r8 = lax.broadcasted_iota(jnp.int32, (8, nbb * UCH, WINB), 0)
+    else:
+        col = lax.broadcasted_iota(jnp.int32, (nbb * UCH, WINB), 1)
+        row = lax.broadcasted_iota(jnp.int32, (nbb * UCH, WINB), 0)
+        r8 = 0
+    du = (row % UCH).astype(jnp.float32)
+    m = row // UCH
+    k0 = jnp.floor(eux * du).astype(jnp.int32)
+    return (col == k0 + m + r8).astype(jnp.bfloat16)
+
+
+def _hat(d):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _split16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot16(sel, hi, lo, dims):
+    f32 = jnp.float32
+    return (lax.dot_general(sel, hi, dims, preferred_element_type=f32)
+            + lax.dot_general(sel, lo, dims, preferred_element_type=f32))
+
+
+class _Scalars:
+    """Named access to the per-view scalar vector inside a kernel
+    (SMEM permits scalar loads only — index each element)."""
+
+    def __init__(self, sc_ref):
+        (self.edy, self.edx, self.edz, self.rx, self.rz, self.eux,
+         self.evx, self.evz, self.cxb, self.czb, self.gzx, self.b1,
+         self.euy, self.evy, self.inv_edy, self.wax, self.wav,
+         self.scale, self.inv_eux, self.euy_ieux, self.zav) = \
+            [sc_ref[0, 0, i] for i in range(NS)]
+
+
+def _pass_a_tiles(p, g8, r, b, cx_r, cz_r, wa0r, nv, arc):
+    """zeta tile (8, nv) + scalar active-band window for x-group g8."""
+    f32 = jnp.float32
+    x_t = g8.astype(f32) + lax.broadcasted_iota(jnp.int32, (8, nv), 0).astype(f32)
+    v_t = lax.broadcasted_iota(jnp.int32, (8, nv), 1).astype(f32)
+    zaff = cz_r + p.gzx * (x_t - cx_r - v_t * p.evx) + v_t * p.evz
+    if arc:
+        w_xv = wa0r + p.wax * x_t + p.wav * v_t
+        cf = jnp.ceil(w_xv) - w_xv
+        zeta = zaff + p.edz * (cf + float(b))
+    else:
+        zeta = zaff
+    vm = nv / 2.0
+    mc = (cz_r + p.gzx * (g8.astype(f32) + 3.5 - cx_r - vm * p.evx)
+          + vm * p.evz - vm + (p.edz if arc else 0.0))
+    mlo = jnp.floor(mc).astype(jnp.int32) - (AWIN - 2) // 2
+    return zeta, v_t, mlo
+
+
+def _pass_b_tiles(p, u0, v0, r, b, cx_r, n_steps, arc):
+    """Per-sample (UCH, VCH) tiles: X, fy, ok for pass B."""
+    f32 = jnp.float32
+    u_t = u0 + lax.broadcasted_iota(jnp.int32, (UCH, VCH), 0).astype(f32)
+    v_t = v0 + lax.broadcasted_iota(jnp.int32, (UCH, VCH), 1).astype(f32)
+    if arc:
+        w_uv = (r - p.b1 - u_t * p.euy - v_t * p.evy) * p.inv_edy
+        j = jnp.ceil(w_uv) + float(b)
+        cfb = j - w_uv
+        fy = p.edy * cfb
+        ok = ((j >= 0.0) & (j <= float(n_steps - 1))
+              & (fy < 1.0)).astype(f32)
+        X = cx_r + u_t * p.eux + v_t * p.evx + p.edx * cfb
+    else:
+        fy = jnp.zeros((UCH, VCH), f32)
+        ok = jnp.ones((UCH, VCH), f32)
+        X = cx_r + u_t * p.eux + v_t * p.evx
+    return X, fy, ok
+
+
+def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
+    """8-aligned pass-B window start (T-row coords) + residual r8."""
+    # interval analysis: with d = X - xc - du*eux in (-D, D),
+    # D = |evx|*VCH/2 + |edx|/2, the needed bands are
+    # m = d - frac(X) + frac(xc) + frac(eux*du) + {0,1} + O
+    #   in (O - D - 1, O + D + 3); O = 3 centers them in [0, NBB=8)
+    # for D < 2 (enforced by kernel_bounds_ok)
+    xc = cx_r + u0 * p.eux + (v0 + VCH / 2.0) * p.evx \
+        + (p.edx * (float(b) + 0.5) if arc else 0.0)
+    wtp = jnp.floor(xc).astype(jnp.int32) - 3 + XP
+    wtp = jnp.clip(wtp, 0, nx + XP + XPH - WINB)
+    w8 = pl.multiple_of((wtp // 8) * 8, 8)
+    return w8, wtp - w8
+
+
+def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
+                pacc_ref, *, nx, ny, nz, nu, nv, K, n_steps, arc, mrange):
+    """Forward: grid (V, C); out block (1, nu, nv) revisited across C."""
+    c = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, f32)
+        s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX], NBB, shifted=True)
+        thi_ref[...] = jnp.zeros(thi_ref.shape, jnp.bfloat16)
+        tlo_ref[...] = jnp.zeros(tlo_ref.shape, jnp.bfloat16)
+
+    p = _Scalars(sc_ref)
+    n_branch = 2 if arc else 1
+    n_sides = 2 if arc else 1
+
+    for k in range(K):
+        r_i = c * K + k - 1
+        r = r_i.astype(f32)
+        valid = (r_i >= (-1 if arc else 0)) & (r_i <= ny - 1)
+
+        @pl.when(valid)
+        def _(k=k, r=r):
+            cx_r = p.cxb + p.rx * r
+            cz_r = p.czb + p.rz * r
+            wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
+
+            for b in range(n_branch):
+                # ---------- pass A: T[side, x, v] ----------
+                def pass_a(g, _, b=b):
+                    g8 = pl.multiple_of(g * 8, 8)
+                    zeta, v_t, mlo = _pass_a_tiles(
+                        p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
+                    pacc_ref[...] = jnp.zeros(pacc_ref.shape, f32)
+                    for m in mrange:
+                        @pl.when((m >= mlo) & (m < mlo + AWIN))
+                        def _(m=m):
+                            w = _hat(zeta - (float(m) + v_t))
+                            for s in range(n_sides):
+                                rows = vol_ref[0, k + s, pl.ds(g8, 8),
+                                               PADZ + m: PADZ + m + nv]
+                                pacc_ref[s] += w * rows
+                    for s in range(n_sides):
+                        hi, lo = _split16(pacc_ref[s])
+                        thi_ref[s, pl.ds(XP + g8, 8), :] = hi
+                        tlo_ref[s, pl.ds(XP + g8, 8), :] = lo
+                    return 0
+
+                lax.fori_loop(0, nx // 8, pass_a, 0)
+
+                # ---------- pass B + blend + accumulate ----------
+                for uc in range(nu // UCH):
+                    u0 = float(uc * UCH)
+                    for vc in range(nv // VCH):
+                        v0 = float(vc * VCH)
+                        w8, r8 = _window_anchor(p, u0, v0, b, cx_r, nx,
+                                                arc)
+                        X, fy, ok = _pass_b_tiles(p, u0, v0, r, b, cx_r,
+                                                  n_steps, arc)
+                        sel = s_ref[r8]
+                        dims = (((1,), (0,)), ((), ()))
+                        bands = []
+                        for s in range(n_sides):
+                            bands.append(_dot16(
+                                sel,
+                                thi_ref[s, pl.ds(w8, WINB),
+                                        vc * VCH:(vc + 1) * VCH],
+                                tlo_ref[s, pl.ds(w8, WINB),
+                                        vc * VCH:(vc + 1) * VCH],
+                                dims))
+
+                        du_t = lax.broadcasted_iota(jnp.int32, (UCH, VCH), 0).astype(f32)
+                        k0 = jnp.floor(p.eux * du_t)
+                        base_x = (w8 + r8 - XP).astype(f32)
+                        acc = jnp.zeros((UCH, VCH), f32)
+                        for m in range(NBB):
+                            wgt = _hat(X - (base_x + k0 + float(m)))
+                            s0 = bands[0][m * UCH:(m + 1) * UCH, :]
+                            if arc:
+                                s1 = bands[1][m * UCH:(m + 1) * UCH, :]
+                                acc += wgt * (s0 + fy * (s1 - s0))
+                            else:
+                                acc += wgt * s0
+                        out_ref[0, uc * UCH:(uc + 1) * UCH,
+                                vc * VCH:(vc + 1) * VCH] += \
+                            acc * (ok * p.scale)
+
+
+def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
+                nx, ny, nz, nu, nv, K, n_steps, arc, mrange):
+    """Adjoint: grid (C, V); out block (1, K, nx, NZP) revisited across V.
+
+    Target slab t receives side-0 of source r = t and (arc) side-1 of
+    source r = t - 1. Boundary sources are recomputed by the neighboring
+    chunk so output blocks never overlap."""
+    v_id = pl.program_id(1)
+    c = pl.program_id(0)
+    f32 = jnp.float32
+    nbba = NBB + 7
+
+    @pl.when(v_id == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, f32)
+
+    # per-step selection (view changes every step): r8 folded into bands
+    s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX], nbba, shifted=False)
+
+    p = _Scalars(sc_ref)
+    n_branch = 2 if arc else 1
+    n_sides = 2 if arc else 1
+
+    for k in range(K):
+        t_i = c * K + k
+        for side in range(n_sides):
+            r_i = t_i - side
+            r = r_i.astype(f32)
+            src_valid = (t_i <= ny - 1) & (r_i >= (-1 if arc else 0)) & \
+                (r_i <= ny - 1)
+
+            @pl.when(src_valid)
+            def _(k=k, side=side, r=r):
+                cx_r = p.cxb + p.rx * r
+                cz_r = p.czb + p.rz * r
+                wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
+
+                for b in range(n_branch):
+                    # ---- pass-B transpose: ctg → T-bar ----
+                    tbar_ref[...] = jnp.zeros(tbar_ref.shape, f32)
+                    for uc in range(nu // UCH):
+                        u0 = float(uc * UCH)
+                        for vc in range(nv // VCH):
+                            v0 = float(vc * VCH)
+                            w8, r8 = _window_anchor(p, u0, v0, b, cx_r,
+                                                    nx, arc)
+                            X, fy, ok = _pass_b_tiles(
+                                p, u0, v0, r, b, cx_r, n_steps, arc)
+                            sw = (fy if side == 1 else 1.0 - fy) if arc \
+                                else 1.0
+                            g = g_ref[0, uc * UCH:(uc + 1) * UCH,
+                                      vc * VCH:(vc + 1) * VCH]
+                            gg = g * (ok * p.scale * sw)
+
+                            du_t = lax.broadcasted_iota(
+                                jnp.int32, (UCH, VCH), 0).astype(f32)
+                            k0 = jnp.floor(p.eux * du_t)
+                            base_x = (w8 - XP).astype(f32)
+                            ctg = []
+                            for m in range(nbba):
+                                wgt = _hat(X - (base_x + k0 + float(m)))
+                                ctg.append(wgt * gg)
+                            ctg = jnp.concatenate(ctg, axis=0)
+                            chi, clo = _split16(ctg)
+                            tbar = _dot16(s_ref[...], chi, clo,
+                                          (((0,), (0,)), ((), ())))
+                            tbar_ref[pl.ds(w8, WINB),
+                                     vc * VCH:(vc + 1) * VCH] += tbar
+
+                    # ---- pass-A transpose: T-bar → slab ----
+                    def pass_at(g, _, b=b):
+                        g8 = pl.multiple_of(g * 8, 8)
+                        zeta, v_t, mlo = _pass_a_tiles(
+                            p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
+                        tb = tbar_ref[pl.ds(XP + g8, 8), :]
+                        for m in mrange:
+                            @pl.when((m >= mlo) & (m < mlo + AWIN))
+                            def _(m=m):
+                                w = _hat(zeta - (float(m) + v_t))
+                                out_ref[0, k, pl.ds(g8, 8),
+                                        PADZ + m: PADZ + m + nv] += w * tb
+                        return 0
+
+                    lax.fori_loop(0, nx // 8, pass_at, 0)
+
+
+def _statics(geom, quad):
+    nx, ny, nz = geom.vox_shape
+    nu, nv = geom.det_shape
+    K = 4
+    C = -(-(ny + 1) // K)
+    mrange = list(range(-PADZ, nz - nv + PADZ + 1))
+    return dict(nx=nx, ny=ny, nz=nz, nu=nu, nv=nv, K=K,
+                n_steps=geom.n_steps, arc=(quad == "arc"),
+                mrange=mrange), C
+
+
+def kernel_supported(geom) -> bool:
+    """Static shape conditions for the fused kernel (else XLA fallback)."""
+    nx, ny, nz = geom.vox_shape
+    nu, nv = geom.det_shape
+    return bool(nx % 8 == 0 and nv % 128 == 0 and nu % UCH == 0
+                and nz % 128 == 0 and nv <= nz + PADZ and nx == ny
+                and nx + XP + XPH >= WINB + XP)
+
+
+def kernel_bounds_ok(scalars_np) -> bool:
+    """Per-view-batch dynamic bounds (rigid jitter must stay within the
+    static band budget; beyond → XLA fallback keeps correctness)."""
+    s = np.asarray(scalars_np, np.float64)
+    evx, edx = np.abs(s[:, S_EVX]), np.abs(s[:, S_EDX])
+    eux = np.abs(s[:, S_EUX])
+    gzx, edz = np.abs(s[:, S_GZX]), np.abs(s[:, S_EDZ])
+    zav = np.abs(s[:, S_ZAV] - 1.0)
+    pass_b = (evx * (VCH / 2) + 0.5 * edx <= (NBB - 4) / 2 - 0.05)
+    pass_a = (4.5 * gzx + edz + zav * 128.0 <= (AWIN - 3) / 2 - 0.1)
+    win = (8 + eux * (UCH - 1) + NBB + 7 <= WINB)
+    return bool(np.all(pass_b & pass_a & win))
+
+
+def _prep_volume(vol_or, C, K):
+    """Oriented (nx, ny, nz) volume → overlapped (C, K+1, nx, NZP) f32."""
+    nx, ny, nz = vol_or.shape
+    v = jnp.transpose(vol_or, (1, 0, 2)).astype(jnp.float32)  # (ny, nx, nz)
+    rows = C * K + 1
+    v = jnp.pad(v, ((1, rows - ny - 1), (0, 0), (PADZ, PADZ)))
+    return jnp.stack([lax.dynamic_slice_in_dim(v, c * K, K + 1, axis=0)
+                      for c in range(C)])
+
+
+def slab_project_pallas(vol_or, scalars, geom, quad: str,
+                        interpret: bool = False):
+    """Forward-project a batch of same-orientation views.
+
+    :param vol_or: oriented volume (nx', ny', nz).
+    :param scalars: (V, NS) per-view scalar vectors.
+    :returns: (V, nu, nv) f32 sinograms (u-major within a view)."""
+    statics, C = _statics(geom, quad)
+    V = scalars.shape[0]
+    K = statics["K"]
+    vol_ov = _prep_volume(vol_or, C, K)
+    nx, nz = statics["nx"], statics["nz"]
+    nu, nv = statics["nu"], statics["nv"]
+    NZP = nz + 2 * PADZ
+    NXPS = nx + XP + XPH
+    kern = functools.partial(_fwd_kernel, **statics)
+    return pl.pallas_call(
+        kern,
+        grid=(V, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, NS), lambda v, c: (v, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K + 1, nx, NZP), lambda v, c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nu, nv), lambda v, c: (v, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((V, nu, nv), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, NBB * UCH, WINB), jnp.bfloat16),
+            pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
+            pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
+            pltpu.VMEM((2, 8, nv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars.astype(jnp.float32).reshape(-1, 1, NS), vol_ov)
+
+
+def slab_backproject_pallas(gbar, scalars, geom, quad: str,
+                            interpret: bool = False):
+    """Adjoint: (V, nu, nv) cotangents → oriented volume (nx', ny', nz)."""
+    statics, C = _statics(geom, quad)
+    V = scalars.shape[0]
+    nx, ny, nz = statics["nx"], statics["ny"], statics["nz"]
+    nu, nv = statics["nu"], statics["nv"]
+    K = statics["K"]
+    NZP = nz + 2 * PADZ
+    NXPS = nx + XP + XPH
+    nbba = NBB + 7
+    kern = functools.partial(_adj_kernel, **statics)
+    out = pl.pallas_call(
+        kern,
+        grid=(C, V),
+        in_specs=[
+            pl.BlockSpec((1, 1, NS), lambda c, v: (v, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nu, nv), lambda c, v: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, nx, NZP), lambda c, v: (c, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, K, nx, NZP), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nbba * UCH, WINB), jnp.bfloat16),
+            pltpu.VMEM((NXPS, nv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars.astype(jnp.float32).reshape(-1, 1, NS),
+      gbar.astype(jnp.float32))
+    vol = out.reshape(C * K, nx, NZP)[:ny, :, PADZ:PADZ + nz]
+    return jnp.transpose(vol, (1, 0, 2))
