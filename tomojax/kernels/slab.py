@@ -51,8 +51,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # ---- static configuration -------------------------------------------------
-PADZ = 24          # z pads (lanes) each side of the slab
-XP = 64            # x pad (sublanes) below T's interior
+PADZ = 32          # z pads (lanes) each side of the slab
+XP = 256           # x pad below T's interior: the pass-B window anchor
+#                    tracks cx_r (the selection identity forces
+#                    m = floor(X) - k0(du) - (wtp - XP) ~ cx_r - anchor),
+#                    and chunks with in-volume samples have
+#                    xc >= -(|eux|*UCH + slack) > -XP; beyond that the
+#                    chunk is empty and skipped
 XPH = 256          # x pad above (windows anchor at their bottom and
 #                    extend WINB rows; taps occupy only the low
 #                    ~|eux|*UCH+NBB of that, the rest reads zero pad)
@@ -171,18 +176,27 @@ def _pass_b_tiles(p, u0, v0, r, b, cx_r, n_steps, arc):
 
 
 def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
-    """8-aligned pass-B window start (T-row coords) + residual r8."""
-    # interval analysis: with d = X - xc - du*eux in (-D, D),
-    # D = |evx|*VCH/2 + |edx|/2, the needed bands are
-    # m = d - frac(X) + frac(xc) + frac(eux*du) + {0,1} + O
-    #   in (O - D - 1, O + D + 3); O = 3 centers them in [0, NBB=8)
-    # for D < 2 (enforced by kernel_bounds_ok)
+    """8-aligned pass-B window start (T-row coords), residual r8, and the
+    chunk-relevance predicate.
+
+    Interval analysis: with d = X - xc - du*eux in (-D, D),
+    D = |evx|*VCH/2 + |edx|/2, the needed bands are
+    m = d - frac(X) + frac(xc) + frac(eux*du) + {0,1} + O
+      in (O - D - 1, O + D + 3); O = 3 centers them in [0, NBB=8)
+    for D < 2 (enforced by kernel_bounds_ok).
+
+    The anchor must track cx_r (m above is anchor-relative), so the low
+    T pad covers every anchor a chunk with in-volume samples can need
+    (xc > -(eux*(UCH-1) + slack) > -XP). The clip therefore only moves
+    anchors of chunks with NO in-volume taps — those are gated off by
+    ``relevant`` (which also skips their matmuls entirely)."""
     xc = cx_r + u0 * p.eux + (v0 + VCH / 2.0) * p.evx \
         + (p.edx * (float(b) + 0.5) if arc else 0.0)
+    relevant = (xc > -(p.eux * (UCH - 1) + 8.0)) & (xc < nx + 8.0)
     wtp = jnp.floor(xc).astype(jnp.int32) - 3 + XP
     wtp = jnp.clip(wtp, 0, nx + XP + XPH - WINB)
     w8 = pl.multiple_of((wtp // 8) * 8, 8)
-    return w8, wtp - w8
+    return w8, wtp - w8, relevant
 
 
 def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
@@ -241,37 +255,42 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                     u0 = float(uc * UCH)
                     for vc in range(nv // VCH):
                         v0 = float(vc * VCH)
-                        w8, r8 = _window_anchor(p, u0, v0, b, cx_r, nx,
-                                                arc)
-                        X, fy, ok = _pass_b_tiles(p, u0, v0, r, b, cx_r,
-                                                  n_steps, arc)
-                        sel = s_ref[r8]
-                        dims = (((1,), (0,)), ((), ()))
-                        bands = []
-                        for s in range(n_sides):
-                            bands.append(_dot16(
-                                sel,
-                                thi_ref[s, pl.ds(w8, WINB),
-                                        vc * VCH:(vc + 1) * VCH],
-                                tlo_ref[s, pl.ds(w8, WINB),
-                                        vc * VCH:(vc + 1) * VCH],
-                                dims))
+                        w8, r8, rel = _window_anchor(p, u0, v0, b, cx_r,
+                                                     nx, arc)
 
-                        du_t = lax.broadcasted_iota(jnp.int32, (UCH, VCH), 0).astype(f32)
-                        k0 = jnp.floor(p.eux * du_t)
-                        base_x = (w8 + r8 - XP).astype(f32)
-                        acc = jnp.zeros((UCH, VCH), f32)
-                        for m in range(NBB):
-                            wgt = _hat(X - (base_x + k0 + float(m)))
-                            s0 = bands[0][m * UCH:(m + 1) * UCH, :]
-                            if arc:
-                                s1 = bands[1][m * UCH:(m + 1) * UCH, :]
-                                acc += wgt * (s0 + fy * (s1 - s0))
-                            else:
-                                acc += wgt * s0
-                        out_ref[0, uc * UCH:(uc + 1) * UCH,
-                                vc * VCH:(vc + 1) * VCH] += \
-                            acc * (ok * p.scale)
+                        @pl.when(rel)
+                        def _(u0=u0, v0=v0, b=b, uc=uc, vc=vc, w8=w8,
+                              r8=r8):
+                            X, fy, ok = _pass_b_tiles(p, u0, v0, r, b,
+                                                      cx_r, n_steps, arc)
+                            sel = s_ref[r8]
+                            dims = (((1,), (0,)), ((), ()))
+                            bands = []
+                            for s in range(n_sides):
+                                bands.append(_dot16(
+                                    sel,
+                                    thi_ref[s, pl.ds(w8, WINB),
+                                            vc * VCH:(vc + 1) * VCH],
+                                    tlo_ref[s, pl.ds(w8, WINB),
+                                            vc * VCH:(vc + 1) * VCH],
+                                    dims))
+
+                            du_t = lax.broadcasted_iota(
+                                jnp.int32, (UCH, VCH), 0).astype(f32)
+                            k0 = jnp.floor(p.eux * du_t)
+                            base_x = (w8 + r8 - XP).astype(f32)
+                            acc = jnp.zeros((UCH, VCH), f32)
+                            for m in range(NBB):
+                                wgt = _hat(X - (base_x + k0 + float(m)))
+                                s0 = bands[0][m * UCH:(m + 1) * UCH, :]
+                                if arc:
+                                    s1 = bands[1][m * UCH:(m + 1) * UCH, :]
+                                    acc += wgt * (s0 + fy * (s1 - s0))
+                                else:
+                                    acc += wgt * s0
+                            out_ref[0, uc * UCH:(uc + 1) * UCH,
+                                    vc * VCH:(vc + 1) * VCH] += \
+                                acc * (ok * p.scale)
 
 
 def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
@@ -318,30 +337,35 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                         u0 = float(uc * UCH)
                         for vc in range(nv // VCH):
                             v0 = float(vc * VCH)
-                            w8, r8 = _window_anchor(p, u0, v0, b, cx_r,
-                                                    nx, arc)
-                            X, fy, ok = _pass_b_tiles(
-                                p, u0, v0, r, b, cx_r, n_steps, arc)
-                            sw = (fy if side == 1 else 1.0 - fy) if arc \
-                                else 1.0
-                            g = g_ref[0, uc * UCH:(uc + 1) * UCH,
-                                      vc * VCH:(vc + 1) * VCH]
-                            gg = g * (ok * p.scale * sw)
+                            w8, r8, rel = _window_anchor(p, u0, v0, b,
+                                                         cx_r, nx, arc)
 
-                            du_t = lax.broadcasted_iota(
-                                jnp.int32, (UCH, VCH), 0).astype(f32)
-                            k0 = jnp.floor(p.eux * du_t)
-                            base_x = (w8 - XP).astype(f32)
-                            ctg = []
-                            for m in range(nbba):
-                                wgt = _hat(X - (base_x + k0 + float(m)))
-                                ctg.append(wgt * gg)
-                            ctg = jnp.concatenate(ctg, axis=0)
-                            chi, clo = _split16(ctg)
-                            tbar = _dot16(s_ref[...], chi, clo,
-                                          (((0,), (0,)), ((), ())))
-                            tbar_ref[pl.ds(w8, WINB),
-                                     vc * VCH:(vc + 1) * VCH] += tbar
+                            @pl.when(rel)
+                            def _(u0=u0, v0=v0, b=b, side=side, uc=uc,
+                                  vc=vc, w8=w8, r8=r8):
+                                X, fy, ok = _pass_b_tiles(
+                                    p, u0, v0, r, b, cx_r, n_steps, arc)
+                                sw = ((fy if side == 1 else 1.0 - fy)
+                                      if arc else 1.0)
+                                g = g_ref[0, uc * UCH:(uc + 1) * UCH,
+                                          vc * VCH:(vc + 1) * VCH]
+                                gg = g * (ok * p.scale * sw)
+
+                                du_t = lax.broadcasted_iota(
+                                    jnp.int32, (UCH, VCH), 0).astype(f32)
+                                k0 = jnp.floor(p.eux * du_t)
+                                base_x = (w8 - XP).astype(f32)
+                                ctg = []
+                                for m in range(nbba):
+                                    wgt = _hat(X - (base_x + k0
+                                                    + float(m)))
+                                    ctg.append(wgt * gg)
+                                ctg = jnp.concatenate(ctg, axis=0)
+                                chi, clo = _split16(ctg)
+                                tbar = _dot16(s_ref[...], chi, clo,
+                                              (((0,), (0,)), ((), ())))
+                                tbar_ref[pl.ds(w8, WINB),
+                                         vc * VCH:(vc + 1) * VCH] += tbar
 
                     # ---- pass-A transpose: T-bar → slab ----
                     def pass_at(g, _, b=b):
