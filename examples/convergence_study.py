@@ -163,22 +163,34 @@ def main():
                     json.dump(record, f, indent=1)
         return callback
 
-    views0 = Views.create(n_proj, phi=phi)
+    # COM-consistency pre-alignment: drift-free per-view (tx, tz) seed
+    from tomojax.align import com_align
+    est = np.asarray(com_align(proj_meas, geom, phi))
+    t0_init = np.zeros((n_proj, 3), np.float32)
+    t0_init[:, 0] = est[:, 0]
+    t0_init[:, 2] = est[:, 1]
+    views0 = Views.create(n_proj, phi=phi, t=t0_init)
+    e0 = param_errors(views0, truth, phi)
+    print(f"[com] tx(raw/gc)={e0['raw']['tx']['max']:.2e}/"
+          f"{e0['gauge_corrected']['tx']['max']:.2e}", flush=True)
+
     state = None
     if args.outers_fast > 0:
         state = align_reconstruct(
             proj_meas, geom, views0, outer_iters=args.outers_fast,
             recon="sirt", recon_iters=args.recon_iters,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method="gd_fast", family="fast",
+            refine_method="gd_fast", family="slab_plane",
             callback=cb("fast"))
         views0 = state.views
     if args.outers_exact > 0:
+        # polish: slab-arc recon (tracks the exact ray operator iterate-
+        # for-iterate) + Levenberg-Marquardt on exact analytic Jacobians
         state = align_reconstruct(
             proj_meas, geom, views0, outer_iters=args.outers_exact,
             recon=args.recon, recon_iters=args.recon_iters,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method="lm", family="ray",
+            refine_method="lm", family="slab",
             volume0=None if state is None else state.volume,
             callback=cb("exact"))
 

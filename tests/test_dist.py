@@ -152,3 +152,21 @@ def test_sharded_slab_matches_single_device(problem):
             np.random.default_rng(3).standard_normal(ref_A.shape), F32)
         ref_AT = slabp.backproject(y, geom, views, dtype=F32, quad=quad)
         np.testing.assert_allclose(ops.AT(y), ref_AT, rtol=2e-4, atol=2e-4)
+
+
+def test_volume_sharded_slab_matches_single_device(problem):
+    """z/v-sharded slab operator (halo exchange over the mesh's second
+    axis) equals the single-device slab family — the >HBM-volume path for
+    the production projector (round-1 VERDICT item 4)."""
+    vol, geom, views, op, b = problem
+    from tomojax.core import slab_projector as slabp
+    from tomojax.dist import make_volume_sharded_slab_operator
+    mesh = make_mesh(4, 2)      # 4-way angle x 2-way volume
+    ops = make_volume_sharded_slab_operator(geom, views, mesh, quad="arc",
+                                            dtype=F32, halo=8)
+    ref_A = slabp.project(vol, geom, views, dtype=F32, quad="arc")
+    np.testing.assert_allclose(ops.A(vol), ref_A, rtol=2e-5, atol=2e-5)
+    y = jnp.asarray(np.random.default_rng(7).standard_normal(ref_A.shape),
+                    F32)
+    ref_AT = slabp.backproject(y, geom, views, dtype=F32, quad="arc")
+    np.testing.assert_allclose(ops.AT(y), ref_AT, rtol=2e-4, atol=2e-4)

@@ -276,6 +276,143 @@ def _make_slab_sharded(geom: Geometry, views: Views, mesh: Mesh,
                                "-sharded", dtype=dtype)
 
 
+def make_volume_sharded_slab_operator(geom: Geometry, views: Views,
+                                      mesh: Mesh, *, quad: str = "arc",
+                                      dtype=jnp.float32,
+                                      halo: int = 32) -> TomoOperator:
+    """Volume-sharded slab-family operator: volume z-axis and detector
+    v-axis distributed over the mesh's second axis, views over ``proj``.
+
+    The slab decomposition's z↔v mapping is a near-unit diagonal (the
+    march axis lies in the x-y plane for every view), so detector block
+    ``v ∈ [v0, v0+nvl)`` reads only volume planes ``z ∈ [v0-H, v0+nvl+H)``
+    — a fixed ``H``-plane halo exchanged with mesh neighbors
+    (``lax.ppermute``), the tomographic analog of ring-attention/CP
+    context sharding (SURVEY §5). The z axis survives every orientation
+    transform (swap/yflip act on x/y, uflip on u), which is why it is the
+    correct spatial shard axis for all view octants. Enables volumes
+    larger than one chip's HBM for the production projector family
+    (round-1 VERDICT item 4; the reference always replicates the volume,
+    ``sirt_mpi.py:56``).
+
+    Per-view jitter must satisfy ``|offset| < H`` (checked host-side from
+    the scalar vectors: the z-v diagonal intercept stays within the halo).
+    """
+    from tomojax.core import slab_projector as slabp
+    from tomojax.kernels import slab as slabk
+
+    n_pshard = mesh.shape["proj"]
+    vol_axis = [a for a in mesh.axis_names if a != "proj"][0]
+    n_vshard = mesh.shape[vol_axis]
+    nx, ny, nz = geom.vox_shape
+    nu, nv = geom.det_shape
+    assert nz % n_vshard == 0 and nv % n_vshard == 0
+    nzl = nz // n_vshard
+    nvl = nv // n_vshard
+    H = min(halo, nzl)
+    views_np = jax.tree.map(np.asarray, views)
+    n = views_np.n_proj
+
+    # local geometry: z-block + halos, v-block; the y extent (ray length /
+    # sample count) is unchanged so arc-mode march indices stay global
+    local_geom = Geometry(n_proj=geom.n_proj,
+                          vox_shape=(nx, ny, nzl + 2 * H),
+                          det_shape=(nu, nvl), vox_pix=geom.vox_pix,
+                          det_pix=geom.det_pix, step_size=geom.step_size)
+
+    groups = []
+    for idx, sw, yf, uf in slabp._orient_groups(views_np, geom):
+        sub = jax.tree.map(lambda a: a[idx], views_np)
+        sc = slabp.slab_scalars_np(geom, sub, sw, yf, uf, quad)
+        # halo sufficiency: the z-v diagonal intercept (czb + rz*r - v*zav
+        # deviation) must stay within H for every slab
+        zoff_max = (np.abs(sc[:, slabk.S_CZB])
+                    + np.abs(sc[:, slabk.S_RZ]) * ny
+                    + np.abs(sc[:, slabk.S_ZAV] - 1.0) * nv + 4)
+        assert np.all(zoff_max < H), (
+            f"halo {H} too small for per-view offsets {zoff_max.max():.1f}")
+        pad = (-len(idx)) % n_pshard
+        if pad:
+            sc = np.concatenate([sc, np.repeat(sc[-1:], pad, axis=0)])
+        groups.append((idx, sw, yf, uf, jnp.asarray(sc, jnp.float32), pad))
+
+    def _shift_scalars(sc_shard):
+        """Adjust scalar rows to the shard's local (v, z) frame."""
+        i = lax.axis_index(vol_axis)
+        v0 = (i * nvl).astype(jnp.float32)
+        zsh = (jnp.float32(H) - (i * nzl).astype(jnp.float32))
+        sc = sc_shard
+        sc = sc.at[:, slabk.S_CXB].add(v0 * sc[:, slabk.S_EVX])
+        sc = sc.at[:, slabk.S_CZB].add(v0 * sc[:, slabk.S_EVZ] + zsh)
+        sc = sc.at[:, slabk.S_B1].add(v0 * sc[:, slabk.S_EVY])
+        return sc
+
+    def _halo_exchange(vol_local):
+        """(nx, ny, nzl) → (nx, ny, nzl + 2H) with neighbor halos."""
+        idxs = np.arange(n_vshard)
+        left = lax.ppermute(vol_local[:, :, -H:], vol_axis,
+                            [(j, j + 1) for j in idxs[:-1]])
+        right = lax.ppermute(vol_local[:, :, :H], vol_axis,
+                             [(j + 1, j) for j in idxs[:-1]])
+        return jnp.concatenate([left, vol_local, right], axis=2)
+
+    def _group_fns(sw, yf, uf):
+        def fwd_local(vol_shard, sc_shard):
+            sc_loc = _shift_scalars(sc_shard)
+            vol_halo = _halo_exchange(vol_shard)
+            vol_or = slabp.orient_volume(vol_halo, local_geom, sw, yf)
+            f = lambda row: slabp.forward_from_scalars_xla(
+                vol_or, row, local_geom, quad, dtype)
+            return jax.vmap(f)(sc_loc)                  # (Vl, nu, nvl)
+
+        def adj_local(g_shard, sc_shard):
+            fwd = lambda v: fwd_local(v, sc_shard)
+            _, vjp_fn = jax.vjp(fwd, jnp.zeros((nx, ny, nzl), dtype))
+            (vbar,) = vjp_fn(g_shard)
+            return lax.psum(vbar, "proj")
+
+        A_g = shard_map(fwd_local, mesh=mesh,
+                        in_specs=(P(None, None, vol_axis), P("proj")),
+                        out_specs=P("proj", None, vol_axis),
+                        check_vma=False)
+        AT_g = shard_map(adj_local, mesh=mesh,
+                         in_specs=(P("proj", None, vol_axis), P("proj")),
+                         out_specs=P(None, None, vol_axis),
+                         check_vma=False)
+        return A_g, AT_g
+
+    fns = {(sw, yf, uf): _group_fns(sw, yf, uf)
+           for _, sw, yf, uf, _, _ in groups}
+
+    def A_fn(x):
+        vol = x.reshape(geom.vox_shape).astype(dtype)
+        out = jnp.zeros((n, geom.n_det), dtype=dtype)
+        for idx, sw, yf, uf, sc, pad in groups:
+            sino = fns[(sw, yf, uf)][0](vol, sc)        # (Vg+pad, nu, nv)
+            if pad:
+                sino = sino[:len(idx)]
+            if uf:
+                sino = sino[:, ::-1, :]
+            out = out.at[jnp.asarray(idx)].set(sino.reshape(len(idx), -1))
+        return out
+
+    def AT_fn(y):
+        y = y.reshape(n, geom.n_det).astype(dtype)
+        acc = jnp.zeros(geom.vox_shape, dtype)
+        for idx, sw, yf, uf, sc, pad in groups:
+            g = y[jnp.asarray(idx)].reshape(len(idx), nu, nv)
+            if uf:
+                g = g[:, ::-1, :]
+            if pad:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((pad, nu, nv), dtype)], axis=0)
+            acc = acc + fns[(sw, yf, uf)][1](g, sc)
+        return acc
+
+    return TomoOperator(geom=geom, views=views, A=A_fn, AT=AT_fn,
+                        family=f"slab-volume-sharded-{quad}", dtype=dtype)
+
+
 def sharded_refine_views(vol, projections, geom: Geometry, views: Views,
                          mesh: Mesh, *, mask=None, lower=None, upper=None,
                          max_iter: int = 20, dtype=jnp.float32):
