@@ -49,7 +49,11 @@ def main():
     t = np.zeros((n_proj, 3))
     t[:, 0] = rng.uniform(-2, 2, n_proj)
     t[:, 2] = rng.uniform(-2, 2, n_proj)
-    views = Views.create(n_proj, alpha=rng.uniform(-0.017, 0.017, n_proj),
+    # realistic acquisition: phis span the half-circle (exercises every
+    # marching octant; round-1 benches used all-zero phi)
+    views = Views.create(n_proj,
+                         phi=np.linspace(0, np.pi, n_proj, endpoint=False),
+                         alpha=rng.uniform(-0.017, 0.017, n_proj),
                          beta=rng.uniform(-0.017, 0.017, n_proj), t=t)
 
     family = os.environ.get("TOMOJAX_BENCH_FAMILY", "fast")
@@ -57,6 +61,11 @@ def main():
         from tomojax.core import fast_projector as fp
         fwd = jax.jit(lambda v: fp.project(v, geom, views))
         adj = jax.jit(lambda y: fp.backproject(y, geom, views))
+    elif family in ("slab", "slab_plane"):
+        from tomojax.core import slab_projector as sp
+        quad = "arc" if family == "slab" else "plane"
+        fwd = jax.jit(lambda v: sp.project(v, geom, views, quad=quad))
+        adj = jax.jit(lambda y: sp.backproject(y, geom, views, quad=quad))
     else:
         fwd = jax.jit(lambda v: projector.project(v, geom, views))
         adj = jax.jit(lambda y: projector.backproject(y, geom.vox_shape,

@@ -22,13 +22,14 @@ TPU mapping (constraints probed on v5e Mosaic):
   along a diagonal, so each band is a *static* lane slice of the slab
   row-group (static unaligned lane offsets are legal; dynamic ones are
   not). Only ~AWIN of the static band range are active per (group, slab),
-  selected by scalar ``pl.when`` gates.
+  selected by scalar ``pl.when`` gates at SBA-band granularity (per-band
+  gates made the scalar core the per-slab bottleneck).
 - pass B (x-interp, |slope| up to ~1.8): banded one-hot selection matmul
-  on the MXU. The forward builds the selection once per view as 8 copies
-  shifted by r8 = 0..7 (dynamic sublane windows must be 8-aligned; the
-  per-(slab, branch) anchor residual picks the copy via a traced leading
-  index). The adjoint's view changes every grid step, so it instead folds
-  r8 into 8 extra bands of a single per-step selection.
+  on the MXU, built once per view (forward) / per step (adjoint). Window
+  anchors are 8-aligned by construction (dynamic sublane slices must be)
+  and the 0..7 anchor residual is folded into 7 extra selection bands
+  (NBBW = NBB + 7) so the selection is indexed statically — a
+  traced-index read would copy the 0.5-1MB matrix per use.
 - selection is exact in bf16 (0/1); f32 operands are split hi/lo into two
   bf16 MXU passes (~4e-6 faithful).
 - per-element hat weights, the fy slab-pair blend, and march-range masks
@@ -63,7 +64,13 @@ XPH = 256          # x pad above (windows anchor at their bottom and
 #                    ~|eux|*UCH+NBB of that, the rest reads zero pad)
 UCH = 128          # u-chunk (pass-B matmul LHS granularity)
 VCH = 128          # v-chunk (pass-B weight-tile lanes)
-NBB = 8            # pass-B bands (forward; adjoint uses NBB + 7)
+NBB = 8            # pass-B logical bands (interval width)
+NBBW = NBB + 7     # stored bands: the 8-aligned anchor residual is
+#                    folded into 7 extra bands so the selection matrix
+#                    is indexed statically (a traced-index read of the
+#                    512KB selection per use cost ~100us/slab)
+SBA = 5            # pass-A super-band gate granularity (scalar-core
+#                    branches were the other per-slab fixed cost)
 WINB = 256         # pass-B T-row window (holds 8 + |eux|*(UCH-1) + NBB)
 AWIN = 7           # pass-A active bands per group
 NS = 21            # scalar count
@@ -89,23 +96,16 @@ def view_scalar_vector(p, step_size, quad, dtype=jnp.float32):
         inv_eux, euy_ieux, zav]).astype(dtype)
 
 
-def _build_selection(eux, nbb, shifted: bool):
-    """Selection one-hots: taps ``k0(du) + m (+ r8)``.
-
-    shifted=True → (8, nbb*UCH, WINB) with the r8 leading axis (forward);
-    shifted=False → (nbb*UCH, WINB) single copy (adjoint)."""
-    if shifted:
-        col = lax.broadcasted_iota(jnp.int32, (8, nbb * UCH, WINB), 2)
-        row = lax.broadcasted_iota(jnp.int32, (8, nbb * UCH, WINB), 1)
-        r8 = lax.broadcasted_iota(jnp.int32, (8, nbb * UCH, WINB), 0)
-    else:
-        col = lax.broadcasted_iota(jnp.int32, (nbb * UCH, WINB), 1)
-        row = lax.broadcasted_iota(jnp.int32, (nbb * UCH, WINB), 0)
-        r8 = 0
+def _build_selection(eux):
+    """(NBBW*UCH, WINB) one-hots: taps ``k0(du) + m`` for the 8-aligned
+    window anchor (band m covers both the logical NBB interval and the
+    0..7 anchor residual)."""
+    col = lax.broadcasted_iota(jnp.int32, (NBBW * UCH, WINB), 1)
+    row = lax.broadcasted_iota(jnp.int32, (NBBW * UCH, WINB), 0)
     du = (row % UCH).astype(jnp.float32)
     m = row // UCH
     k0 = jnp.floor(eux * du).astype(jnp.int32)
-    return (col == k0 + m + r8).astype(jnp.bfloat16)
+    return (col == k0 + m).astype(jnp.bfloat16)
 
 
 def _hat(d):
@@ -196,7 +196,7 @@ def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
     wtp = jnp.floor(xc).astype(jnp.int32) - 3 + XP
     wtp = jnp.clip(wtp, 0, nx + XP + XPH - WINB)
     w8 = pl.multiple_of((wtp // 8) * 8, 8)
-    return w8, wtp - w8, relevant
+    return w8, relevant
 
 
 def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
@@ -208,7 +208,7 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
     @pl.when(c == 0)
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, f32)
-        s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX], NBB, shifted=True)
+        s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX])
         thi_ref[...] = jnp.zeros(thi_ref.shape, jnp.bfloat16)
         tlo_ref[...] = jnp.zeros(tlo_ref.shape, jnp.bfloat16)
 
@@ -234,14 +234,21 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                     zeta, v_t, mlo = _pass_a_tiles(
                         p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
                     pacc_ref[...] = jnp.zeros(pacc_ref.shape, f32)
-                    for m in mrange:
-                        @pl.when((m >= mlo) & (m < mlo + AWIN))
-                        def _(m=m):
-                            w = _hat(zeta - (float(m) + v_t))
-                            for s in range(n_sides):
-                                rows = vol_ref[0, k + s, pl.ds(g8, 8),
-                                               PADZ + m: PADZ + m + nv]
-                                pacc_ref[s] += w * rows
+                    # super-band gating: one scalar branch per SBA
+                    # bands; inactive bands inside an active super-band
+                    # get zero hat weights (semantically free)
+                    for sb in range(mrange[0], mrange[-1] + 1, SBA):
+                        @pl.when((sb <= mlo + AWIN - 1)
+                                 & (sb + SBA > mlo))
+                        def _(sb=sb):
+                            for m in range(sb, min(sb + SBA,
+                                                   mrange[-1] + 1)):
+                                w = _hat(zeta - (float(m) + v_t))
+                                for s in range(n_sides):
+                                    rows = vol_ref[0, k + s, pl.ds(g8, 8),
+                                                   PADZ + m:
+                                                   PADZ + m + nv]
+                                    pacc_ref[s] += w * rows
                     for s in range(n_sides):
                         hi, lo = _split16(pacc_ref[s])
                         thi_ref[s, pl.ds(XP + g8, 8), :] = hi
@@ -255,15 +262,14 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                     u0 = float(uc * UCH)
                     for vc in range(nv // VCH):
                         v0 = float(vc * VCH)
-                        w8, r8, rel = _window_anchor(p, u0, v0, b, cx_r,
-                                                     nx, arc)
+                        w8, rel = _window_anchor(p, u0, v0, b, cx_r,
+                                                 nx, arc)
 
                         @pl.when(rel)
-                        def _(u0=u0, v0=v0, b=b, uc=uc, vc=vc, w8=w8,
-                              r8=r8):
+                        def _(u0=u0, v0=v0, b=b, uc=uc, vc=vc, w8=w8):
                             X, fy, ok = _pass_b_tiles(p, u0, v0, r, b,
                                                       cx_r, n_steps, arc)
-                            sel = s_ref[r8]
+                            sel = s_ref[...]
                             dims = (((1,), (0,)), ((), ()))
                             bands = []
                             for s in range(n_sides):
@@ -278,9 +284,9 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                             du_t = lax.broadcasted_iota(
                                 jnp.int32, (UCH, VCH), 0).astype(f32)
                             k0 = jnp.floor(p.eux * du_t)
-                            base_x = (w8 + r8 - XP).astype(f32)
+                            base_x = (w8 - XP).astype(f32)
                             acc = jnp.zeros((UCH, VCH), f32)
-                            for m in range(NBB):
+                            for m in range(NBBW):
                                 wgt = _hat(X - (base_x + k0 + float(m)))
                                 s0 = bands[0][m * UCH:(m + 1) * UCH, :]
                                 if arc:
@@ -303,14 +309,13 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
     v_id = pl.program_id(1)
     c = pl.program_id(0)
     f32 = jnp.float32
-    nbba = NBB + 7
 
     @pl.when(v_id == 0)
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, f32)
 
     # per-step selection (view changes every step): r8 folded into bands
-    s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX], nbba, shifted=False)
+    s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX])
 
     p = _Scalars(sc_ref)
     n_branch = 2 if arc else 1
@@ -337,12 +342,12 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                         u0 = float(uc * UCH)
                         for vc in range(nv // VCH):
                             v0 = float(vc * VCH)
-                            w8, r8, rel = _window_anchor(p, u0, v0, b,
-                                                         cx_r, nx, arc)
+                            w8, rel = _window_anchor(p, u0, v0, b,
+                                                     cx_r, nx, arc)
 
                             @pl.when(rel)
                             def _(u0=u0, v0=v0, b=b, side=side, uc=uc,
-                                  vc=vc, w8=w8, r8=r8):
+                                  vc=vc, w8=w8):
                                 X, fy, ok = _pass_b_tiles(
                                     p, u0, v0, r, b, cx_r, n_steps, arc)
                                 sw = ((fy if side == 1 else 1.0 - fy)
@@ -356,7 +361,7 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                                 k0 = jnp.floor(p.eux * du_t)
                                 base_x = (w8 - XP).astype(f32)
                                 ctg = []
-                                for m in range(nbba):
+                                for m in range(NBBW):
                                     wgt = _hat(X - (base_x + k0
                                                     + float(m)))
                                     ctg.append(wgt * gg)
@@ -373,12 +378,17 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                         zeta, v_t, mlo = _pass_a_tiles(
                             p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
                         tb = tbar_ref[pl.ds(XP + g8, 8), :]
-                        for m in mrange:
-                            @pl.when((m >= mlo) & (m < mlo + AWIN))
-                            def _(m=m):
-                                w = _hat(zeta - (float(m) + v_t))
-                                out_ref[0, k, pl.ds(g8, 8),
-                                        PADZ + m: PADZ + m + nv] += w * tb
+                        for sb in range(mrange[0], mrange[-1] + 1,
+                                        SBA):
+                            @pl.when((sb <= mlo + AWIN - 1)
+                                     & (sb + SBA > mlo))
+                            def _(sb=sb):
+                                for m in range(sb, min(sb + SBA,
+                                                       mrange[-1] + 1)):
+                                    w = _hat(zeta - (float(m) + v_t))
+                                    out_ref[0, k, pl.ds(g8, 8),
+                                            PADZ + m: PADZ + m + nv] += \
+                                        w * tb
                         return 0
 
                     lax.fori_loop(0, nx // 8, pass_at, 0)
@@ -387,7 +397,7 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
 def _statics(geom, quad):
     nx, ny, nz = geom.vox_shape
     nu, nv = geom.det_shape
-    K = 4
+    K = 8
     C = -(-(ny + 1) // K)
     mrange = list(range(-PADZ, nz - nv + PADZ + 1))
     return dict(nx=nx, ny=ny, nz=nz, nu=nu, nv=nv, K=K,
@@ -457,7 +467,7 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((V, nu, nv), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, NBB * UCH, WINB), jnp.bfloat16),
+            pltpu.VMEM((NBBW * UCH, WINB), jnp.bfloat16),
             pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
             pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
             pltpu.VMEM((2, 8, nv), jnp.float32),
@@ -476,7 +486,6 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
     K = statics["K"]
     NZP = nz + 2 * PADZ
     NXPS = nx + XP + XPH
-    nbba = NBB + 7
     kern = functools.partial(_adj_kernel, **statics)
     out = pl.pallas_call(
         kern,
@@ -491,7 +500,7 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, K, nx, NZP), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nbba * UCH, WINB), jnp.bfloat16),
+            pltpu.VMEM((NBBW * UCH, WINB), jnp.bfloat16),
             pltpu.VMEM((NXPS, nv), jnp.float32),
         ],
         interpret=interpret,
