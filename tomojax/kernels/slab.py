@@ -80,22 +80,6 @@ NS = 21            # scalar count
  S_EUYIEUX, S_ZAV) = range(NS)
 
 
-def view_scalar_vector(p, step_size, quad, dtype=jnp.float32):
-    """Pack per-view SlabParams into the kernel scalar vector."""
-    inv_edy = 1.0 / p.edy
-    inv_eux = 1.0 / p.eux
-    euy_ieux = p.euy * inv_eux
-    wax = -euy_ieux * inv_edy
-    wav = (euy_ieux * p.evx - p.evy) * inv_edy
-    zav = p.evz - p.gzx * p.evx
-    scale = (jnp.asarray(step_size, dtype) * inv_edy if quad == "plane"
-             else jnp.asarray(1.0, dtype))
-    return jnp.stack([
-        p.edy, p.edx, p.edz, p.rx, p.rz, p.eux, p.evx, p.evz, p.cxb,
-        p.czb, p.gzx, p.b1, p.euy, p.evy, inv_edy, wax, wav, scale,
-        inv_eux, euy_ieux, zav]).astype(dtype)
-
-
 def _build_selection(eux):
     """(NBBW*UCH, WINB) one-hots: taps ``k0(du) + m`` for the 8-aligned
     window anchor (band m covers both the logical NBB interval and the
