@@ -32,10 +32,10 @@ def _geom(n=32, n_proj=1):
 
 
 def test_arc_mode_machine_exact_at_zero_jitter(vol32):
-    """Zero jitter: identical sample positions → 1e-12 parity in f64,
-    across every marching octant."""
+    """Zero jitter: identical sample positions → 1e-12 parity in f64
+    (one phi per orientation group; the full octant sweep is slow-tier)."""
     geom = _geom()
-    for phi in np.deg2rad([0, 22, 45, 46, 90, 135, 170, 181, 225, 269, 315]):
+    for phi in np.deg2rad([0, 45, 181]):
         e = exact.forward_view(vol32, geom, phi, 0.0, 0.0, jnp.zeros(3),
                                jnp.zeros(3), dtype=F64)
         s = slab.forward_view(vol32, geom, phi, 0.0, 0.0, jnp.zeros(3),
@@ -47,7 +47,7 @@ def test_arc_mode_machine_exact_at_zero_jitter(vol32):
 def test_arc_mode_close_under_jitter(vol32):
     geom = _geom()
     rng = np.random.default_rng(3)
-    for phi in np.deg2rad([10, 45, 60, 135, 200, 315]):
+    for phi in np.deg2rad([45, 200]):
         al, be = rng.uniform(-0.02, 0.02, 2)
         t = jnp.asarray(rng.uniform(-2, 2, 3))
         e = exact.forward_view(vol32, geom, phi, al, be, t, jnp.zeros(3),
@@ -60,9 +60,9 @@ def test_arc_mode_close_under_jitter(vol32):
 
 def test_plane_mode_mass_and_closeness(vol32):
     """Plane quadrature: different discretization, but mass-preserving and
-    within a few % of the exact transform."""
+    within a few %% of the exact transform."""
     geom = _geom()
-    for phi in np.deg2rad([0, 30, 45, 80, 120]):
+    for phi in np.deg2rad([0, 45, 120]):
         e = np.asarray(exact.forward_view(vol32, geom, phi, 0.01, -0.008,
                                           jnp.asarray([0.7, 0.0, -0.4]),
                                           jnp.zeros(3), dtype=F64))
@@ -138,3 +138,16 @@ def test_cgls_slab_operator_tracks_exact_family(vol32):
     rel_ray = run("ray")
     rel_slab = run("slab")
     assert abs(rel_slab - rel_ray) < 0.01, (rel_slab, rel_ray)
+
+
+@pytest.mark.slow
+def test_arc_mode_machine_exact_full_octant_sweep(vol32):
+    geom = _geom()
+    for phi in np.deg2rad([0, 22, 45, 46, 90, 135, 170, 181, 225, 269,
+                           315]):
+        e = exact.forward_view(vol32, geom, phi, 0.0, 0.0, jnp.zeros(3),
+                               jnp.zeros(3), dtype=F64)
+        s = slab.forward_view(vol32, geom, phi, 0.0, 0.0, jnp.zeros(3),
+                              jnp.zeros(3), dtype=F64, quad="arc")
+        rel = float(jnp.linalg.norm(s - e) / jnp.linalg.norm(e))
+        assert rel < 1e-12, (np.rad2deg(phi), rel)
