@@ -102,6 +102,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--param-set", default="xzab")
     ap.add_argument("--recon", default="cgls", choices=["cgls", "sirt"])
+    ap.add_argument("--refine-bulk", default="lm",
+                    choices=["lm", "gd_fast"],
+                    help="refinement for the bulk stage (lm avoids the "
+                         "fast-family backward kernels entirely)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (cpu/tpu)")
     ap.add_argument("--out", default=None)
@@ -174,23 +178,30 @@ def main():
     print(f"[com] tx(raw/gc)={e0['raw']['tx']['max']:.2e}/"
           f"{e0['gauge_corrected']['tx']['max']:.2e}", flush=True)
 
+    # recon families by scale: the fused slab kernel needs >=128-wide
+    # detectors; below that the exact ray family is fast enough on TPU
+    # and bit-matches the data-generating operator
+    fam_bulk = "slab_plane" if n >= 128 else "fast"
+    fam_polish = "slab" if n >= 128 else "ray"
+
     state = None
     if args.outers_fast > 0:
         state = align_reconstruct(
             proj_meas, geom, views0, outer_iters=args.outers_fast,
             recon="sirt", recon_iters=args.recon_iters,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method="gd_fast", family="slab_plane",
+            refine_method=args.refine_bulk, family=fam_bulk,
             callback=cb("fast"))
         views0 = state.views
     if args.outers_exact > 0:
-        # polish: slab-arc recon (tracks the exact ray operator iterate-
-        # for-iterate) + Levenberg-Marquardt on exact analytic Jacobians
+        # polish: exact-consistent recon + Levenberg-Marquardt on exact
+        # analytic Jacobians (slab-arc tracks the ray operator
+        # iterate-for-iterate at >=128^3)
         state = align_reconstruct(
             proj_meas, geom, views0, outer_iters=args.outers_exact,
             recon=args.recon, recon_iters=args.recon_iters,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method="lm", family="slab",
+            refine_method="lm", family=fam_polish,
             volume0=None if state is None else state.volume,
             callback=cb("exact"))
 

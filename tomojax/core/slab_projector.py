@@ -357,11 +357,14 @@ def _take_views(views: Views, idx) -> Views:
 def _use_slab_kernel(geom: Geometry, dtype) -> bool:
     import os
     # validated vs the XLA path on TPU: every orientation octant <=5e-4
-    # (f32), adjoint = exact transpose to 1e-7; set TOMOJAX_NO_PALLAS=1
-    # (or TOMOJAX_SLAB_KERNEL=0) to force the XLA fallback
-    if os.environ.get("TOMOJAX_SLAB_KERNEL", "1") == "0":
+    # (f32), adjoint = exact transpose to 1e-7. TOMOJAX_SLAB_KERNEL=0
+    # forces the XLA fallback; an explicit TOMOJAX_SLAB_KERNEL=1 keeps the
+    # kernel on even under TOMOJAX_NO_PALLAS (which then only disables the
+    # fast family's resample kernels)
+    flag = os.environ.get("TOMOJAX_SLAB_KERNEL")
+    if flag == "0":
         return False
-    if os.environ.get("TOMOJAX_NO_PALLAS"):
+    if flag != "1" and os.environ.get("TOMOJAX_NO_PALLAS"):
         return False
     try:
         backend = jax.default_backend()
