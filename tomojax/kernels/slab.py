@@ -381,7 +381,9 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
 def _statics(geom, quad):
     nx, ny, nz = geom.vox_shape
     nu, nv = geom.det_shape
-    K = 8
+    # slabs per grid step: bounded by VMEM ((K+1, nx, NZP) f32 double-
+    # buffered + T/selection scratch must stay within ~16MB)
+    K = 8 if nx <= 256 else 2
     C = -(-(ny + 1) // K)
     mrange = list(range(-PADZ, nz - nv + PADZ + 1))
     return dict(nx=nx, ny=ny, nz=nz, nu=nu, nv=nv, K=K,
