@@ -181,7 +181,7 @@ def main():
     # recon families by scale: the fused slab kernel needs >=128-wide
     # detectors; below that the exact ray family is fast enough on TPU
     # and bit-matches the data-generating operator
-    fam_bulk = "slab_plane" if n >= 128 else "fast"
+    fam_bulk = "slab_plane" if n >= 128 else "ray"
     fam_polish = "slab" if n >= 128 else "ray"
 
     state = None
