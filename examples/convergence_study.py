@@ -102,6 +102,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--param-set", default="xzab")
     ap.add_argument("--recon", default="cgls", choices=["cgls", "sirt"])
+    ap.add_argument("--outers-polish", type=int, default=0,
+                    help="optional final stage: deep recon + deep LM once "
+                         "the parameters are close (running deep recon "
+                         "from the start overfits the misalignment — "
+                         "semi-convergence)")
+    ap.add_argument("--recon-iters-polish", type=int, default=120)
+    ap.add_argument("--refine-iters-polish", type=int, default=40)
     ap.add_argument("--refine-bulk", default="lm",
                     choices=["lm", "gd_fast"],
                     help="refinement for the bulk stage (lm avoids the "
@@ -204,6 +211,14 @@ def main():
             refine_method="lm", family=fam_polish,
             volume0=None if state is None else state.volume,
             callback=cb("exact"))
+    if args.outers_polish > 0:
+        state = align_reconstruct(
+            proj_meas, geom, state.views, outer_iters=args.outers_polish,
+            recon=args.recon, recon_iters=args.recon_iters_polish,
+            param_set=args.param_set,
+            refine_iters=args.refine_iters_polish,
+            refine_method="lm", family=fam_polish,
+            volume0=state.volume, callback=cb("polish"))
 
     record["total_wall_s"] = time.perf_counter() - t_start
     final = record["iters"][-1] if record["iters"] else {}
