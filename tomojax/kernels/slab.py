@@ -71,6 +71,11 @@ NBBW = NBB + 7     # stored bands: the 8-aligned anchor residual is
 #                    512KB selection per use cost ~100us/slab)
 SBA = 5            # pass-A super-band gate granularity (scalar-core
 #                    branches were the other per-slab fixed cost)
+PASS_A_MATMUL = False  # experimental: pass A as a selection matmul (no
+#                    unaligned lane reads, no gates); flip after TPU A/B
+XCH_A = 64         # pass-A matmul x-chunk rows
+MBA = 7            # pass-A selection bands (taps 2 + frac + chunk gzx
+#                    drift + both branches' edz dev + zav drift)
 WINB = 256         # pass-B T-row window (holds 8 + |eux|*(UCH-1) + NBB)
 AWIN = 7           # pass-A active bands per group
 NS = 21            # scalar count
@@ -94,6 +99,41 @@ def _build_selection(eux):
 
 def _hat(d):
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _build_selz(zoff_pad, nzp, nv):
+    """(NZP, MBA*nv) one-hot: tap z == v + zoff_pad + m (padded coords);
+    the z<->v diagonal selection for the matmul pass A."""
+    z = lax.broadcasted_iota(jnp.int32, (nzp, MBA * nv), 0)
+    col = lax.broadcasted_iota(jnp.int32, (nzp, MBA * nv), 1)
+    v = col % nv
+    m = col // nv
+    return (z == v + m + zoff_pad).astype(jnp.bfloat16)
+
+
+def _pass_a_zeta_chunk(p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc):
+    """zeta tile (XCH_A, nv) for the matmul pass A (unpadded z coords)."""
+    f32 = jnp.float32
+    x_t = float(xc0) + lax.broadcasted_iota(
+        jnp.int32, (XCH_A, nv), 0).astype(f32)
+    v_t = lax.broadcasted_iota(jnp.int32, (XCH_A, nv), 1).astype(f32)
+    zaff = cz_r + p.gzx * (x_t - cx_r - v_t * p.evx) + v_t * p.evz
+    if arc:
+        w_xv = wa0r + p.wax * x_t + p.wav * v_t
+        cf = jnp.ceil(w_xv) - w_xv
+        zeta = zaff + p.edz * (cf + float(b))
+    else:
+        zeta = zaff
+    return zeta, v_t
+
+
+def _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp, arc):
+    """Branch-shared 'diagonal intercept' anchor for an x-chunk (padded)."""
+    vm = nv / 2.0
+    zc = (cz_r + p.gzx * (float(xc0) + XCH_A / 2.0 - cx_r - vm * p.evx)
+          + vm * p.evz - vm + (p.edz if arc else 0.0))
+    zoff = jnp.floor(zc).astype(jnp.int32) - (MBA - 2) // 2 + PADZ
+    return jnp.clip(zoff, 0, nzp - nv - MBA)
 
 
 def _split16(x):
@@ -211,35 +251,71 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
             cz_r = p.czb + p.rz * r
             wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
 
-            for b in range(n_branch):
-                # ---------- pass A: T[side, x, v] ----------
-                def pass_a(g, _, b=b):
-                    g8 = pl.multiple_of(g * 8, 8)
-                    zeta, v_t, mlo = _pass_a_tiles(
-                        p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
-                    pacc_ref[...] = jnp.zeros(pacc_ref.shape, f32)
-                    # super-band gating: one scalar branch per SBA
-                    # bands; inactive bands inside an active super-band
-                    # get zero hat weights (semantically free)
-                    for sb in range(mrange[0], mrange[-1] + 1, SBA):
-                        @pl.when((sb <= mlo + AWIN - 1)
-                                 & (sb + SBA > mlo))
-                        def _(sb=sb):
-                            for m in range(sb, min(sb + SBA,
-                                                   mrange[-1] + 1)):
-                                w = _hat(zeta - (float(m) + v_t))
-                                for s in range(n_sides):
-                                    rows = vol_ref[0, k + s, pl.ds(g8, 8),
-                                                   PADZ + m:
-                                                   PADZ + m + nv]
-                                    pacc_ref[s] += w * rows
+            if PASS_A_MATMUL:
+                # ---- pass A via selection matmul: no unaligned reads,
+                # no gates; matmuls shared across branches ----
+                nzp = nz + 2 * PADZ
+                for xc0 in range(0, nx, XCH_A):
+                    zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp,
+                                        arc)
+                    selz = _build_selz(zoff, nzp, nv)
+                    dims = (((1,), (0,)), ((), ()))
+                    mm = []
                     for s in range(n_sides):
-                        hi, lo = _split16(pacc_ref[s])
-                        thi_ref[s, pl.ds(XP + g8, 8), :] = hi
-                        tlo_ref[s, pl.ds(XP + g8, 8), :] = lo
-                    return 0
+                        rows = vol_ref[0, k + s, xc0:xc0 + XCH_A, :]
+                        rhi, rlo = _split16(rows)
+                        mm.append(
+                            lax.dot_general(rhi, selz, dims,
+                                            preferred_element_type=f32)
+                            + lax.dot_general(rlo, selz, dims,
+                                              preferred_element_type=f32))
+                    for b in range(n_branch):
+                        zeta, v_t = _pass_a_zeta_chunk(
+                            p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc)
+                        tapb = (zoff - PADZ).astype(f32) + v_t
+                        for s in range(n_sides):
+                            acc = jnp.zeros((XCH_A, nv), f32)
+                            for m in range(MBA):
+                                acc += _hat(zeta - (tapb + float(m))) \
+                                    * mm[s][:, m * nv:(m + 1) * nv]
+                            hi, lo = _split16(acc)
+                            slot = b * 2 + s
+                            thi_ref[slot, XP + xc0:XP + xc0 + XCH_A,
+                                    :] = hi
+                            tlo_ref[slot, XP + xc0:XP + xc0 + XCH_A,
+                                    :] = lo
 
-                lax.fori_loop(0, nx // 8, pass_a, 0)
+            for b in range(n_branch):
+                if not PASS_A_MATMUL:
+                    # ---------- pass A: T[side, x, v] ----------
+                    def pass_a(g, _, b=b):
+                        g8 = pl.multiple_of(g * 8, 8)
+                        zeta, v_t, mlo = _pass_a_tiles(
+                            p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
+                        pacc_ref[...] = jnp.zeros(pacc_ref.shape, f32)
+                        # super-band gating: one scalar branch per SBA
+                        # bands; inactive bands inside an active
+                        # super-band get zero hat weights
+                        for sb in range(mrange[0], mrange[-1] + 1, SBA):
+                            @pl.when((sb <= mlo + AWIN - 1)
+                                     & (sb + SBA > mlo))
+                            def _(sb=sb):
+                                for m in range(sb, min(sb + SBA,
+                                                       mrange[-1] + 1)):
+                                    w = _hat(zeta - (float(m) + v_t))
+                                    for s in range(n_sides):
+                                        rows = vol_ref[0, k + s,
+                                                       pl.ds(g8, 8),
+                                                       PADZ + m:
+                                                       PADZ + m + nv]
+                                        pacc_ref[s] += w * rows
+                        for s in range(n_sides):
+                            hi, lo = _split16(pacc_ref[s])
+                            thi_ref[s, pl.ds(XP + g8, 8), :] = hi
+                            tlo_ref[s, pl.ds(XP + g8, 8), :] = lo
+                        return 0
+
+                    lax.fori_loop(0, nx // 8, pass_a, 0)
 
                 # ---------- pass B + blend + accumulate ----------
                 for uc in range(nu // UCH):
@@ -257,11 +333,12 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                             dims = (((1,), (0,)), ((), ()))
                             bands = []
                             for s in range(n_sides):
+                                slot = b * 2 + s if PASS_A_MATMUL else s
                                 bands.append(_dot16(
                                     sel,
-                                    thi_ref[s, pl.ds(w8, WINB),
+                                    thi_ref[slot, pl.ds(w8, WINB),
                                             vc * VCH:(vc + 1) * VCH],
-                                    tlo_ref[s, pl.ds(w8, WINB),
+                                    tlo_ref[slot, pl.ds(w8, WINB),
                                             vc * VCH:(vc + 1) * VCH],
                                     dims))
 
@@ -357,25 +434,50 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                                          vc * VCH:(vc + 1) * VCH] += tbar
 
                     # ---- pass-A transpose: T-bar → slab ----
-                    def pass_at(g, _, b=b):
-                        g8 = pl.multiple_of(g * 8, 8)
-                        zeta, v_t, mlo = _pass_a_tiles(
-                            p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
-                        tb = tbar_ref[pl.ds(XP + g8, 8), :]
-                        for sb in range(mrange[0], mrange[-1] + 1,
-                                        SBA):
-                            @pl.when((sb <= mlo + AWIN - 1)
-                                     & (sb + SBA > mlo))
-                            def _(sb=sb):
-                                for m in range(sb, min(sb + SBA,
+                    if PASS_A_MATMUL:
+                        nzp = nz + 2 * PADZ
+                        for xc0 in range(0, nx, XCH_A):
+                            zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r,
+                                                nv, nzp, arc)
+                            selz = _build_selz(zoff, nzp, nv)
+                            zeta, v_t = _pass_a_zeta_chunk(
+                                p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc)
+                            tapb = (zoff - PADZ).astype(f32) + v_t
+                            tb = tbar_ref[XP + xc0:XP + xc0 + XCH_A, :]
+                            wt = jnp.concatenate(
+                                [_hat(zeta - (tapb + float(m))) * tb
+                                 for m in range(MBA)], axis=1)
+                            whi, wlo = _split16(wt)
+                            sbar = (
+                                lax.dot_general(
+                                    whi, selz, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+                                + lax.dot_general(
+                                    wlo, selz, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32))
+                            out_ref[0, k, xc0:xc0 + XCH_A, :] += sbar
+                    else:
+                        def pass_at(g, _, b=b):
+                            g8 = pl.multiple_of(g * 8, 8)
+                            zeta, v_t, mlo = _pass_a_tiles(
+                                p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
+                            tb = tbar_ref[pl.ds(XP + g8, 8), :]
+                            for sb in range(mrange[0], mrange[-1] + 1,
+                                            SBA):
+                                @pl.when((sb <= mlo + AWIN - 1)
+                                         & (sb + SBA > mlo))
+                                def _(sb=sb):
+                                    for m in range(sb,
+                                                   min(sb + SBA,
                                                        mrange[-1] + 1)):
-                                    w = _hat(zeta - (float(m) + v_t))
-                                    out_ref[0, k, pl.ds(g8, 8),
-                                            PADZ + m: PADZ + m + nv] += \
-                                        w * tb
-                        return 0
+                                        w = _hat(zeta
+                                                 - (float(m) + v_t))
+                                        out_ref[0, k, pl.ds(g8, 8),
+                                                PADZ + m:
+                                                PADZ + m + nv] += w * tb
+                            return 0
 
-                    lax.fori_loop(0, nx // 8, pass_at, 0)
+                        lax.fori_loop(0, nx // 8, pass_at, 0)
 
 
 def _statics(geom, quad):
@@ -454,8 +556,8 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
         out_shape=jax.ShapeDtypeStruct((V, nu, nv), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((NBBW * UCH, WINB), jnp.bfloat16),
-            pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
-            pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
+            pltpu.VMEM((4, NXPS, nv), jnp.bfloat16),
+            pltpu.VMEM((4, NXPS, nv), jnp.bfloat16),
             pltpu.VMEM((2, 8, nv), jnp.float32),
         ],
         interpret=interpret,
