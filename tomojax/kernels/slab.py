@@ -71,7 +71,7 @@ NBBW = NBB + 7     # stored bands: the 8-aligned anchor residual is
 #                    512KB selection per use cost ~100us/slab)
 SBA = 5            # pass-A super-band gate granularity (scalar-core
 #                    branches were the other per-slab fixed cost)
-PASS_A_MATMUL = False  # experimental: pass A as a selection matmul (no
+PASS_A_MATMUL = True   # experimental: pass A as a selection matmul (no
 #                    unaligned lane reads, no gates); flip after TPU A/B
 XCH_A = 64         # pass-A matmul x-chunk rows
 MBA = 7            # pass-A selection bands (taps 2 + frac + chunk gzx
