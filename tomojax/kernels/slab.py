@@ -52,7 +52,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # ---- static configuration -------------------------------------------------
-PADZ = 32          # z pads (lanes) each side of the slab
+PADZ = 64          # z pads (lanes) each side of the slab
+#                    (also keeps NZP = nz + 2*PADZ a 128-
+#                    multiple for power-of-two nz: Mosaic
+#                    rejects matmul outputs on odd lane tiles)
 XP = 256           # x pad below T's interior: the pass-B window anchor
 #                    tracks cx_r (the selection identity forces
 #                    m = floor(X) - k0(du) - (wtp - XP) ~ cx_r - anchor),
@@ -71,8 +74,11 @@ NBBW = NBB + 7     # stored bands: the 8-aligned anchor residual is
 #                    512KB selection per use cost ~100us/slab)
 SBA = 5            # pass-A super-band gate granularity (scalar-core
 #                    branches were the other per-slab fixed cost)
-PASS_A_MATMUL = True   # experimental: pass A as a selection matmul (no
-#                    unaligned lane reads, no gates); flip after TPU A/B
+PASS_A_MATMUL = True   # pass A as a selection matmul (no unaligned lane
+#                    reads, no gates): +17%/+57% fwd at 128^3/256^3
+PASS_A_MATMUL_ADJ = False  # the adjoint-side variant crashes the Mosaic
+#                    compiler at 256^3 (HTTP 500; fine at 128^3) — keep
+#                    the validated banded transpose until root-caused
 XCH_A = 64         # pass-A matmul x-chunk rows
 MBA = 7            # pass-A selection bands (taps 2 + frac + chunk gzx
 #                    drift + both branches' edz dev + zav drift)
@@ -434,7 +440,7 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                                          vc * VCH:(vc + 1) * VCH] += tbar
 
                     # ---- pass-A transpose: T-bar → slab ----
-                    if PASS_A_MATMUL:
+                    if PASS_A_MATMUL_ADJ:
                         nzp = nz + 2 * PADZ
                         for xc0 in range(0, nx, XCH_A):
                             zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r,
@@ -485,7 +491,7 @@ def _statics(geom, quad):
     nu, nv = geom.det_shape
     # slabs per grid step: bounded by VMEM ((K+1, nx, NZP) f32 double-
     # buffered + T/selection scratch must stay within ~16MB)
-    K = 8 if nx <= 256 else 2
+    K = 8 if nx <= 128 else (6 if nx <= 256 else 2)
     C = -(-(ny + 1) // K)
     mrange = list(range(-PADZ, nz - nv + PADZ + 1))
     return dict(nx=nx, ny=ny, nz=nz, nu=nu, nv=nv, K=K,
