@@ -96,6 +96,9 @@ def main():
     ap.add_argument("--outers-fast", type=int, default=8)
     ap.add_argument("--outers-exact", type=int, default=30)
     ap.add_argument("--recon-iters", type=int, default=40)
+    ap.add_argument("--recon-chunk", type=int, default=None,
+                    help="solver iterations per device program "
+                         "(the runtime watchdog kills long programs at >=64^3)")
     ap.add_argument("--refine-iters", type=int, default=12)
     ap.add_argument("--jitter-px", type=float, default=2.0)
     ap.add_argument("--jitter-deg", type=float, default=1.0)
@@ -196,6 +199,7 @@ def main():
         state = align_reconstruct(
             proj_meas, geom, views0, outer_iters=args.outers_fast,
             recon="sirt", recon_iters=args.recon_iters,
+            recon_chunk=args.recon_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
             refine_method=args.refine_bulk, family=fam_bulk,
             callback=cb("fast"))
@@ -207,6 +211,7 @@ def main():
         state = align_reconstruct(
             proj_meas, geom, views0, outer_iters=args.outers_exact,
             recon=args.recon, recon_iters=args.recon_iters,
+            recon_chunk=args.recon_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
             refine_method="lm", family=fam_polish,
             volume0=None if state is None else state.volume,
@@ -215,6 +220,7 @@ def main():
         state = align_reconstruct(
             proj_meas, geom, state.views, outer_iters=args.outers_polish,
             recon=args.recon, recon_iters=args.recon_iters_polish,
+            recon_chunk=args.recon_chunk,
             param_set=args.param_set,
             refine_iters=args.refine_iters_polish,
             refine_method="lm", family=fam_polish,

@@ -52,6 +52,7 @@ def _default_bounds(dtype=jnp.float32):
 def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       outer_iters: int = 10, recon: str = "sirt",
                       recon_iters: int = 100, positivity: bool = True,
+                      recon_chunk: int | None = None,
                       param_set: str = "xzab", refine_iters: int = 12,
                       refine_method: str = "lm",
                       bounds=None, ground_truth=None, dtype=jnp.float32,
@@ -111,16 +112,24 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
 
     for it in range(start_iter, outer_iters):
         op = make_operator(geom, views, family=family, dtype=dtype)
-        if recon == "sirt":
-            r = _sirt(op, projections, niter=recon_iters,
-                      positivity=positivity, x0=volume,
-                      ground_truth=ground_truth)
-        elif recon == "cgls":
-            r = _cgls(op, projections, niter=recon_iters, x0=volume,
-                      ground_truth=ground_truth)
-        else:
-            raise ValueError(f"unknown recon {recon!r}")
-        volume = r.x
+        # host-chunk the solver so no single device program exceeds the
+        # runtime watchdog (the axon runtime kills very long programs;
+        # 64^3+ exact-family SIRT/CGLS over many views trips it)
+        chunk = recon_chunk or recon_iters
+        done = 0
+        while done < recon_iters:
+            nit = min(chunk, recon_iters - done)
+            if recon == "sirt":
+                r = _sirt(op, projections, niter=nit,
+                          positivity=positivity, x0=volume,
+                          ground_truth=ground_truth)
+            elif recon == "cgls":
+                r = _cgls(op, projections, niter=nit, x0=volume,
+                          ground_truth=ground_truth)
+            else:
+                raise ValueError(f"unknown recon {recon!r}")
+            volume = r.x
+            done += nit
         rms = float(np.asarray(r.rms_error)[max(0, int(r.n_iter) - 1)])
         history["recon_rms"].append(rms)
 
