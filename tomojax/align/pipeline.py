@@ -26,6 +26,7 @@ import os
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tomojax.core.geometry import Geometry, Views
@@ -160,9 +161,25 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
             theta = jnp.clip(ref.theta6, lo, hi)
         else:
-            ref = refine_views(volume, projections, geom, views, mask=mask,
-                               lower=lo, upper=hi, max_iter=refine_iters,
-                               dtype=dtype)
+            # host-loop over view chunks for the same watchdog/memory
+            # reasons as gd_fast (views are independent in refinement)
+            n = geom.n_proj
+            vchunk = max(1, min(n, (1 << 23) // max(1, geom.n_vox)))
+            if vchunk >= n:
+                ref = refine_views(volume, projections, geom, views,
+                                   mask=mask, lower=lo, upper=hi,
+                                   max_iter=refine_iters, dtype=dtype)
+            else:
+                parts = []
+                for i0 in range(0, n, vchunk):
+                    sl = np.arange(i0, min(i0 + vchunk, n))
+                    sub = jax.tree.map(lambda a: a[sl], views)
+                    parts.append(refine_views(
+                        volume, projections[sl], geom, sub, mask=mask,
+                        lower=lo[sl] if lo.ndim == 2 else lo,
+                        upper=hi[sl] if hi.ndim == 2 else hi,
+                        max_iter=refine_iters, dtype=dtype))
+                ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
             theta = ref.theta6
         views = Views.from_theta6(theta, cor=views.cor)
         cost = float(jnp.sum(ref.cost))
