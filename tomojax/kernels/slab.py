@@ -257,42 +257,39 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
             cz_r = p.czb + p.rz * r
             wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
 
-            if PASS_A_MATMUL:
-                # ---- pass A via selection matmul: no unaligned reads,
-                # no gates; matmuls shared across branches ----
-                nzp = nz + 2 * PADZ
-                for xc0 in range(0, nx, XCH_A):
-                    zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp,
-                                        arc)
-                    selz = _build_selz(zoff, nzp, nv)
-                    dims = (((1,), (0,)), ((), ()))
-                    mm = []
-                    for s in range(n_sides):
-                        rows = vol_ref[0, k + s, xc0:xc0 + XCH_A, :]
-                        rhi, rlo = _split16(rows)
-                        mm.append(
-                            lax.dot_general(rhi, selz, dims,
-                                            preferred_element_type=f32)
-                            + lax.dot_general(rlo, selz, dims,
-                                              preferred_element_type=f32))
-                    for b in range(n_branch):
+            for b in range(n_branch):
+                if PASS_A_MATMUL:
+                    # ---- pass A via selection matmul: no unaligned
+                    # reads, no gates (T has 2 slots so 512^3 fits VMEM;
+                    # the matmuls are recomputed per branch) ----
+                    nzp = nz + 2 * PADZ
+                    for xc0 in range(0, nx, XCH_A):
+                        zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv,
+                                            nzp, arc)
+                        selz = _build_selz(zoff, nzp, nv)
+                        dims = (((1,), (0,)), ((), ()))
                         zeta, v_t = _pass_a_zeta_chunk(
                             p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc)
                         tapb = (zoff - PADZ).astype(f32) + v_t
                         for s in range(n_sides):
+                            rows = vol_ref[0, k + s, xc0:xc0 + XCH_A, :]
+                            rhi, rlo = _split16(rows)
+                            mm = (lax.dot_general(
+                                      rhi, selz, dims,
+                                      preferred_element_type=f32)
+                                  + lax.dot_general(
+                                      rlo, selz, dims,
+                                      preferred_element_type=f32))
                             acc = jnp.zeros((XCH_A, nv), f32)
                             for m in range(MBA):
                                 acc += _hat(zeta - (tapb + float(m))) \
-                                    * mm[s][:, m * nv:(m + 1) * nv]
+                                    * mm[:, m * nv:(m + 1) * nv]
                             hi, lo = _split16(acc)
-                            slot = b * 2 + s
-                            thi_ref[slot, XP + xc0:XP + xc0 + XCH_A,
+                            thi_ref[s, XP + xc0:XP + xc0 + XCH_A,
                                     :] = hi
-                            tlo_ref[slot, XP + xc0:XP + xc0 + XCH_A,
+                            tlo_ref[s, XP + xc0:XP + xc0 + XCH_A,
                                     :] = lo
-
-            for b in range(n_branch):
-                if not PASS_A_MATMUL:
+                else:
                     # ---------- pass A: T[side, x, v] ----------
                     def pass_a(g, _, b=b):
                         g8 = pl.multiple_of(g * 8, 8)
@@ -339,12 +336,11 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                             dims = (((1,), (0,)), ((), ()))
                             bands = []
                             for s in range(n_sides):
-                                slot = b * 2 + s if PASS_A_MATMUL else s
                                 bands.append(_dot16(
                                     sel,
-                                    thi_ref[slot, pl.ds(w8, WINB),
+                                    thi_ref[s, pl.ds(w8, WINB),
                                             vc * VCH:(vc + 1) * VCH],
-                                    tlo_ref[slot, pl.ds(w8, WINB),
+                                    tlo_ref[s, pl.ds(w8, WINB),
                                             vc * VCH:(vc + 1) * VCH],
                                     dims))
 
@@ -491,7 +487,7 @@ def _statics(geom, quad):
     nu, nv = geom.det_shape
     # slabs per grid step: bounded by VMEM ((K+1, nx, NZP) f32 double-
     # buffered + T/selection scratch must stay within ~16MB)
-    K = 8 if nx <= 128 else (6 if nx <= 256 else 2)
+    K = 8 if nx <= 128 else (6 if nx <= 256 else 1)
     C = -(-(ny + 1) // K)
     mrange = list(range(-PADZ, nz - nv + PADZ + 1))
     return dict(nx=nx, ny=ny, nz=nz, nu=nu, nv=nv, K=K,
@@ -562,11 +558,13 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
         out_shape=jax.ShapeDtypeStruct((V, nu, nv), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((NBBW * UCH, WINB), jnp.bfloat16),
-            pltpu.VMEM((4, NXPS, nv), jnp.bfloat16),
-            pltpu.VMEM((4, NXPS, nv), jnp.bfloat16),
+            pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
+            pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
             pltpu.VMEM((2, 8, nv), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(scalars.astype(jnp.float32).reshape(-1, 1, NS), vol_ov)
 
 
@@ -598,6 +596,8 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
             pltpu.VMEM((NXPS, nv), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(scalars.astype(jnp.float32).reshape(-1, 1, NS),
       gbar.astype(jnp.float32))
     vol = out.reshape(C * K, nx, NZP)[:ny, :, PADZ:PADZ + nz]
