@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.slow
-def test_kernel_matches_xla_every_octant():
+def test_kernel_matches_xla_every_octant(monkeypatch):
     n, n_proj = 128, 8
     geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
     vol = jnp.asarray(phantom.shepp3d(n), jnp.float32)
@@ -28,10 +28,9 @@ def test_kernel_matches_xla_every_octant():
         alpha=rng.uniform(-0.012, 0.012, n_proj),
         beta=rng.uniform(-0.012, 0.012, n_proj),
         t=rng.uniform(-2, 2, (n_proj, 3)))
-    import os
-    os.environ["TOMOJAX_SLAB_KERNEL"] = "0"
+    monkeypatch.setenv("TOMOJAX_SLAB_KERNEL", "0")
     ref = np.asarray(sp.project(vol, geom, views, quad="arc"))
-    os.environ["TOMOJAX_SLAB_KERNEL"] = "1"
+    monkeypatch.setenv("TOMOJAX_SLAB_KERNEL", "1")
     ker = np.asarray(sp.project(vol, geom, views, quad="arc"))
     rel = np.linalg.norm(ker - ref) / np.linalg.norm(ref)
     assert rel < 2e-3, rel

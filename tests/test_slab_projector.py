@@ -151,3 +151,150 @@ def test_arc_mode_machine_exact_full_octant_sweep(vol32):
                               jnp.zeros(3), dtype=F64, quad="arc")
         rel = float(jnp.linalg.norm(s - e) / jnp.linalg.norm(e))
         assert rel < 1e-12, (np.rad2deg(phi), rel)
+
+
+# ---------------- analytic 6-DoF Jacobian (theta gradients) ----------------
+
+
+def _smooth_vol(n):
+    xx, yy, zz = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
+    return jnp.asarray(np.exp(-((xx - n * 0.47) ** 2 + (yy - n * 0.5) ** 2
+                                + (zz - n * 0.45) ** 2) / (n * 1.2)), F64)
+
+
+def test_jacobian_matches_exact_family_at_zero_jitter():
+    """At zero jitter the slab operator coincides with the exact ray
+    family machine-exactly, and so do the Jacobian rows whose parameter
+    does not excite the z-tracking cross term (tx, ty, tz, phi). The
+    alpha/beta rows carry ``d(edz)/dtheta ~ 1`` into the grid-sawtooth
+    wrap zones where the two (equally valid) quadratures genuinely
+    reassign samples, so they agree only to ~10-20%% — each operator's
+    row is the a.e.-exact derivative of ITS OWN forward (asserted
+    field-by-field in test_jacobian_scalar_responses_fd_exact)."""
+    n = 16
+    geom = Geometry(n_proj=1, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n), F64)
+    cor = jnp.zeros(3, F64)
+    for phi in (0.5, 2.1, 3.8):
+        v_s, j_s = slab.forward_view_jac(vol, geom, phi, 0.0, 0.0,
+                                         jnp.zeros(3, F64), cor, dtype=F64)
+        v_e, j_e = exact.forward_view_jac(vol, geom, phi, 0.0, 0.0,
+                                          jnp.zeros(3, F64), cor,
+                                          dtype=F64)
+        assert float(jnp.linalg.norm(v_s - v_e)) < 1e-9
+        for k in range(6):
+            den = max(float(jnp.linalg.norm(j_e[k])), 1e-9)
+            rel = float(jnp.linalg.norm(j_s[k] - j_e[k])) / den
+            tol = 1e-5 if k < 4 else 0.25
+            assert rel < tol, (phi, k, rel)
+
+
+def test_jacobian_scalar_responses_fd_exact():
+    """Per-scalar response fields are the exact a.e. derivative of the
+    slab operator: central differences on each SlabParams scalar (smooth
+    volume, f64) match to ~1e-6."""
+    n = 16
+    geom = Geometry(n_proj=1, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = _smooth_vol(n)
+    cor = jnp.zeros(3, F64)
+    phi, al, be = 0.6, 0.01, -0.008
+    t = jnp.asarray([0.7, 0.0, -0.4], F64)
+    vw = Views.create(1, phi=np.asarray([phi]), alpha=np.asarray([al]),
+                      beta=np.asarray([be]))
+    sw, yf, _ = slab.orient_flags(vw, geom)
+    sw, yf = bool(sw[0]), bool(yf[0])
+    vol_or = slab.orient_volume(vol, geom, sw, yf)
+    th = jnp.asarray([*np.asarray(t), phi, al, be], F64)
+    E, B = slab._oriented_affine_theta(geom, th, cor, sw, yf, False, F64)
+    p0 = slab.slab_params(E, B, F64)
+
+    P, PJ, PR = {}, {}, {}
+    for dv in ("x", "y", "z"):
+        P[dv] = slab._forward_oriented_xla(vol_or, p0, geom, quad="arc",
+                                           dtype=F64, deriv=dv)
+        PJ[dv] = slab._forward_oriented_xla(vol_or, p0, geom, quad="arc",
+                                            dtype=F64, deriv=dv,
+                                            jweight=True)
+        PR[dv] = slab._forward_oriented_xla(vol_or, p0, geom, quad="arc",
+                                            dtype=F64, deriv=dv,
+                                            rweight=True)
+    PM = slab._forward_oriented_xla(vol_or, p0, geom, quad="arc",
+                                    dtype=F64, deriv="zm")
+    ZC = slab._forward_oriented_xla(vol_or, p0, geom, quad="arc",
+                                    dtype=F64, deriv="zc")
+    resp = slab._scalar_responses(p0, P, PJ, PR, PM, ZC, geom, F64)
+
+    eps = 1e-6
+    for field in ("cxb", "czb", "b1", "rx", "rz", "eux", "evx", "evz",
+                  "gzx", "edx", "edz"):
+        pp = p0._replace(**{field: getattr(p0, field) + eps})
+        pm = p0._replace(**{field: getattr(p0, field) - eps})
+        fd = np.asarray(
+            slab._forward_oriented_xla(vol_or, pp, geom, quad="arc",
+                                       dtype=F64)
+            - slab._forward_oriented_xla(vol_or, pm, geom, quad="arc",
+                                         dtype=F64)) / (2 * eps)
+        an = np.asarray(getattr(resp, field))
+        den = max(np.linalg.norm(fd), 1e-9)
+        rel = np.linalg.norm(an - fd) / den
+        # a.e.-exact; the residual is the FD's own truncation/knife-edge
+        # noise (r-weighted fields amplify it by the slab index)
+        assert rel < 3e-5, (field, rel)
+
+
+def test_jacobian_translation_theta_fd():
+    """Whole-theta central differences for the optimized translations
+    (tx, tz): the assembled Jacobian rows are a.e.-exact."""
+    n = 16
+    geom = Geometry(n_proj=1, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = _smooth_vol(n)
+    cor = jnp.zeros(3, F64)
+    phi, al, be = 0.6, 0.01, -0.008
+    t0 = np.array([0.7, 0.0, -0.4, phi, al, be])
+    vw = Views.create(1, phi=np.asarray([phi]), alpha=np.asarray([al]),
+                      beta=np.asarray([be]))
+    sw, yf, _ = slab.orient_flags(vw, geom)
+    sw, yf = bool(sw[0]), bool(yf[0])
+    _, jac = slab.forward_view_jac(vol, geom, phi, al, be,
+                                   jnp.asarray(t0[:3], F64), cor,
+                                   dtype=F64, swap=sw, yflip=yf)
+
+    def fwd(th):
+        return np.asarray(slab.forward_view(
+            vol, geom, th[3], th[4], th[5], jnp.asarray(th[:3], F64), cor,
+            dtype=F64, swap=sw, yflip=yf), np.float64)
+
+    eps = 1e-5
+    for k in (0, 2):
+        tp, tm = t0.copy(), t0.copy()
+        tp[k] += eps
+        tm[k] -= eps
+        fd = (fwd(tp) - fwd(tm)) / (2 * eps)
+        ja = np.asarray(jac[k], np.float64)
+        rel = np.linalg.norm(ja - fd) / max(np.linalg.norm(fd), 1e-9)
+        assert rel < 1e-5, (k, rel)
+
+
+def test_slab_scalars_jnp_matches_np():
+    """The traceable scalar builder (refinement path) must agree with the
+    host numpy builder (operator-build path) for every octant."""
+    n = 16
+    geom = Geometry(n_proj=8, vox_shape=(n,) * 3, det_shape=(n, n))
+    rng = np.random.default_rng(4)
+    views = Views.create(
+        8, phi=0.3 + np.linspace(0, 2 * np.pi, 8, endpoint=False),
+        alpha=rng.uniform(-0.01, 0.01, 8),
+        beta=rng.uniform(-0.01, 0.01, 8),
+        t=rng.uniform(-1, 1, (8, 3)))
+    for idx, sw, yf, uf in slab._orient_groups(
+            jax.tree.map(np.asarray, views), geom):
+        sub = jax.tree.map(lambda a: np.asarray(a)[idx], views)
+        sc_np = slab.slab_scalars_np(geom, sub, sw, yf, uf, "arc")
+        th = jnp.asarray(np.concatenate(
+            [sub.t, np.stack([sub.phi, sub.alpha, sub.beta], -1)], -1),
+            F64)
+        sc_j = jax.vmap(lambda t6, c: slab.slab_scalars_jnp(
+            geom, t6, c, sw, yf, uf, "arc", dtype=F64))(
+            th, jnp.asarray(sub.cor, F64))
+        np.testing.assert_allclose(np.asarray(sc_j), sc_np, rtol=1e-9,
+                                   atol=1e-9)

@@ -54,6 +54,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       outer_iters: int = 10, recon: str = "sirt",
                       recon_iters: int = 100, positivity: bool = True,
                       recon_chunk: int | None = None,
+                      refine_chunk: int | None = None,
                       param_set: str = "xzab", refine_iters: int = 12,
                       refine_method: str = "lm",
                       bounds=None, ground_truth=None, dtype=jnp.float32,
@@ -74,8 +75,22 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         ("ray" exact / "fast" multi-pass / "voxel").
     :param refine_method: "lm" — box-constrained Levenberg–Marquardt on the
         exact analytic Jacobian (reference-equivalent; heavy at ≥256³);
+        "lm_slab" — batched box-LM on the slab family's analytic Jacobian
+        (the production path: on TPU every Jacobian building block runs
+        through the fused Pallas kernel);
         "gd_fast" — Armijo gradient descent with reverse-mode gradients
-        through the fast multi-pass projector (production path at scale).
+        through the fast multi-pass projector.
+    :param recon_chunk: host-chunk the reconstruction solver into pieces of
+        at most this many iterations (bounds single device-program length
+        for runtime watchdogs).  NOTE for ``recon="cgls"``: each chunk
+        cold-restarts CG (warm-started at the previous chunk's iterate but
+        with fresh conjugacy), so the trajectory differs from an unchunked
+        run and the recorded ``rms`` reflects the final chunk only.  SIRT
+        chunking is exactly equivalent to an unchunked run.
+    :param refine_chunk: host-chunk the per-view refinement into groups of
+        at most this many views (default: an automatic memory/watchdog
+        heuristic).  Views are independent, so chunking is exactly
+        equivalent to the unchunked batched refinement.
     :param checkpoint_dir: if set, write ``align_ckpt_####.npz`` per outer
         iteration and resume from the latest on restart.
     :returns: final :class:`AlignState`.
@@ -136,8 +151,28 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
 
         lo = theta_init + lo_off
         hi = theta_init + hi_off
-        if refine_method == "gd_fast":
-            import jax
+        if refine_method == "lm_slab":
+            from tomojax.align.slab_refine import refine_views_slab
+            # view-chunking for watchdog bounds (views independent)
+            n = geom.n_proj
+            vchunk = refine_chunk or max(
+                1, min(n, (1 << 24) // max(1, geom.n_vox)))
+            if vchunk >= n:
+                ref = refine_views_slab(volume, projections, geom, views,
+                                        mask=mask, lower=lo, upper=hi,
+                                        max_iter=refine_iters, dtype=dtype)
+            else:
+                parts = []
+                for i0 in range(0, n, vchunk):
+                    sl = np.arange(i0, min(i0 + vchunk, n))
+                    sub = jax.tree.map(lambda a: a[sl], views)
+                    parts.append(refine_views_slab(
+                        volume, projections[sl], geom, sub, mask=mask,
+                        lower=lo[sl], upper=hi[sl],
+                        max_iter=refine_iters, dtype=dtype))
+                ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+            theta = ref.theta6
+        elif refine_method == "gd_fast":
             from tomojax.align.refine import gradient_descent_view
 
             def one(args):
@@ -151,7 +186,8 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             # and memory (one giant lax.map program at large scales trips
             # runtime watchdogs and holds all chunk intermediates)
             n = geom.n_proj
-            chunk = max(1, min(n, (1 << 26) // max(1, geom.n_vox * 4)))
+            chunk = refine_chunk or max(
+                1, min(n, (1 << 26) // max(1, geom.n_vox * 4)))
             fj = jax.jit(jax.vmap(lambda th, p, c: one((th, p, c))))
             th_all = views.theta6().astype(dtype)
             parts = []
@@ -164,7 +200,8 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             # host-loop over view chunks for the same watchdog/memory
             # reasons as gd_fast (views are independent in refinement)
             n = geom.n_proj
-            vchunk = max(1, min(n, (1 << 23) // max(1, geom.n_vox)))
+            vchunk = refine_chunk or max(
+                1, min(n, (1 << 23) // max(1, geom.n_vox)))
             if vchunk >= n:
                 ref = refine_views(volume, projections, geom, views,
                                    mask=mask, lower=lo, upper=hi,

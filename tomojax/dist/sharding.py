@@ -188,13 +188,13 @@ def _make_slab_sharded(geom: Geometry, views: Views, mesh: Mesh,
         backend = "cpu"
     import os
     use_kernel = (backend == "tpu" and not os.environ.get(
-        "TOMOJAX_NO_PALLAS") and slabk.kernel_supported(geom))
+        "TOMOJAX_NO_PALLAS") and slabk.kernel_supported(geom, quad))
 
     groups = []
     for idx, sw, yf, uf in slabp._orient_groups(views_np, geom):
         sub = jax.tree.map(lambda a: a[idx], views_np)
         sc = slabp.slab_scalars_np(geom, sub, sw, yf, uf, quad)
-        if use_kernel and not slabk.kernel_bounds_ok(sc):
+        if use_kernel and not slabk.kernel_bounds_ok(sc, nv=geom.det_shape[1]):
             use_kernel = False
         pad = (-len(idx)) % n_pshard
         if pad:

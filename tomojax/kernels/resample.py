@@ -108,109 +108,6 @@ def _kernel(off_ref, sl_ref, arr_ref, out_ref, *, n_data, m_out, chunk,
         out_ref[:, pl.ds(i0, chunk)] = w0 * s0 + w1 * s1 + w2 * s2
 
 
-def _kernel_bwd(off_ref, sl_ref, arr_ref, g_ref, abar_ref, obar_ref,
-                sbar_ref, *, n_data, m_out, chunk, n_win):
-    """Backward: cotangents w.r.t. rows, offsets, slope.
-
-    Recomputes the forward bands (same anchors/selection), then:
-    - rows cotangent: fold (w_m ⊙ g)·selᵀ windows back with the inverse
-      rotate and accumulate (exact transpose of the forward);
-    - position cotangent pc = g·∂out/∂τ gives off_bar = Σᵢ pc and the
-      per-row slope partial Σᵢ pc·(i + i0) (floors/masks are
-      piecewise-constant: zero gradient, matching XLA autodiff semantics).
-    """
-    R = ROWS_PER_PROGRAM
-    slope = sl_ref[0, 0]
-    dtype = arr_ref.dtype
-    n = n_data
-
-    abar_ref[...] = jnp.zeros_like(abar_ref)
-    obar = jnp.zeros((R, 1), dtype)
-    sbar = jnp.zeros((R, 1), dtype)
-
-    n_chunks = m_out // chunk
-    for c in range(n_chunks):
-        i0 = c * chunk
-        i = lax.broadcasted_iota(jnp.int32, (1, chunk), 1).astype(dtype)
-        minpos = jnp.minimum(slope * (chunk - 1), 0.0)
-        si = slope * i - minpos
-        k0 = jnp.floor(si)
-        q = lax.broadcasted_iota(jnp.int32, (n_win, chunk), 0).astype(dtype)
-        sel = jnp.concatenate([(q == k0).astype(dtype),
-                               (q == k0 + 1.0).astype(dtype),
-                               (q == k0 + 2.0).astype(dtype)], axis=1)
-
-        base = off_ref[:, 0] + (slope * i0 + minpos)
-        kf = jnp.floor(base)
-        r_frac = base - kf
-        k = kf.astype(jnp.int32)
-
-        reps = -(-n_win // n)
-        rows = []
-        for r in range(R):
-            ni = jnp.int32(n)
-            shift = lax.rem(lax.rem(-k[r], ni) + ni, ni)
-            rolled = pltpu.roll(arr_ref[r:r + 1, :], shift, axis=1)
-            if reps > 1:
-                rolled = jnp.concatenate([rolled] * reps, axis=1)
-            rows.append(rolled[:, :n_win])
-        windows = jnp.concatenate(rows, axis=0)
-
-        s_all = jax.lax.dot_general(
-            windows, sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s0 = s_all[:, :chunk]
-        s1 = s_all[:, chunk:2 * chunk]
-        s2 = s_all[:, 2 * chunk:]
-
-        kb = k.astype(dtype)[:, None]
-        a0 = kb + k0
-        tau = (si - k0) + r_frac[:, None]
-        in_lo = tau < 1.0
-
-        def wmask(a):
-            return ((a >= 0.0) & (a <= n - 1.0)).astype(dtype)
-
-        m0, m1, m2 = wmask(a0), wmask(a0 + 1.0), wmask(a0 + 2.0)
-        w0 = jnp.where(in_lo, 1.0 - tau, 0.0) * m0
-        w1 = jnp.where(in_lo, tau, 2.0 - tau) * m1
-        w2 = jnp.where(in_lo, 0.0, tau - 1.0) * m2
-
-        g = g_ref[:, pl.ds(i0, chunk)]                   # (R, chunk)
-
-        # ---- rows cotangent ----
-        gw = jnp.concatenate([w0 * g, w1 * g, w2 * g], axis=1)  # (R, 3chunk)
-        wbar = jax.lax.dot_general(
-            gw, sel, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (R, n_win)
-        if reps > 1:
-            parts = [wbar[:, rr * n:min((rr + 1) * n, n_win)]
-                     for rr in range(reps)]
-            folded = jnp.zeros((R, n), dtype)
-            for p in parts:
-                width = p.shape[1]
-                folded = folded + (p if width == n else
-                                   jnp.pad(p, ((0, 0), (0, n - width))))
-            wbar = folded
-        else:
-            wbar = wbar[:, :n] if wbar.shape[1] == n else \
-                jnp.pad(wbar, ((0, 0), (0, n - wbar.shape[1])))
-        for r in range(R):
-            ni = jnp.int32(n)
-            inv_shift = lax.rem(lax.rem(k[r], ni) + ni, ni)  # +k mod n
-            abar_ref[r:r + 1, :] += pltpu.roll(wbar[r:r + 1, :], inv_shift,
-                                               axis=1)
-
-        # ---- position cotangents ----
-        dtau = jnp.where(in_lo, m1 * s1 - m0 * s0, m2 * s2 - m1 * s1)
-        pc = g * dtau                                    # (R, chunk)
-        obar = obar + jnp.sum(pc, axis=1, keepdims=True)
-        sbar = sbar + jnp.sum(pc * (i + float(i0)), axis=1, keepdims=True)
-
-    obar_ref[...] = obar
-    sbar_ref[...] = sbar
-
-
 def _kernel_transpose(off_ref, sl_ref, g_ref, abar_ref, *, n_data, m_out,
                       chunk, n_win):
     """Lean transpose: rows cotangent ONLY (no window extraction, no band
@@ -333,39 +230,6 @@ def _pallas_resample_fwd_call(arr_p, off_p, slope_arr, *, n_data, m_pad,
     )(off_p, slope_arr, arr_p)
 
 
-def _pallas_resample_bwd_call(arr_p, off_p, slope_arr, g_p, *, n_data,
-                              m_pad, chunk, n_win, interpret):
-    R = ROWS_PER_PROGRAM
-    a_pad = arr_p.shape[0]
-    dtype = arr_p.dtype
-    kernel = functools.partial(_kernel_bwd, n_data=n_data, m_out=m_pad,
-                               chunk=chunk, n_win=n_win)
-    return pl.pallas_call(
-        kernel,
-        grid=(a_pad // R,),
-        in_specs=[
-            pl.BlockSpec((R, 1), lambda a: (a, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, n_data), lambda a: (a, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, m_pad), lambda a: (a, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((R, n_data), lambda a: (a, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda a: (a, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda a: (a, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((a_pad, n_data), dtype),
-            jax.ShapeDtypeStruct((a_pad, 1), dtype),
-            jax.ShapeDtypeStruct((a_pad, 1), dtype),
-        ),
-        interpret=interpret,
-    )(off_p, slope_arr, arr_p, g_p)
-
-
 def resample_rows_pallas(arr, offsets, slope, m_out: int, max_slope: float,
                          *, interpret: bool = False,
                          linear_only: bool = False):
@@ -451,22 +315,38 @@ def _resample_fwd_rule(arr, offsets, slope, m_out, max_slope, interpret):
 
 
 def _resample_bwd_rule(m_out, max_slope, interpret, res, g):
+    """Backward: rows cotangent via the lean transpose kernel, position
+    cotangents (offsets, slope) in plain XLA.
+
+    The original fused Pallas backward (`_kernel_bwd`, per-row dynamic
+    rolls) faulted the post-2026-08 TPU runtime even freshly compiled
+    (round-2 STATUS "Environment incident") and was removed; the
+    transpose kernel is unaffected.  The position cotangents are one
+    2-tap gather + two reductions — XLA handles that fine — so
+    ``gd_fast`` refinement is safe on TPU by default, no env-var dance.
+
+    Semantics unchanged: pc = g·∂out/∂pos with floors/bounds-masks
+    piecewise-constant (zero gradient), matching XLA autodiff of the
+    fallback (asserted by ``tests/test_kernels.py``
+    ``test_kernel_gradients_match_autodiff``)."""
     arr, offsets, slope = res
     A, N = arr.shape
     dtype = arr.dtype
-    chunk, n_win, m_pad, a_pad = _params(A, N, m_out, max_slope)
+    g = g.astype(dtype)
+    arr_bar = resample_rows_transpose(g, offsets, slope, N, max_slope,
+                                      interpret=interpret)
     offsets_s, slope_s = _sanitize(offsets.reshape(-1), slope, N, m_out,
                                    max_slope, dtype)
-    arr_p = jnp.pad(arr, ((0, a_pad - A), (0, 0)))
-    off_p = jnp.pad(offsets_s, (0, a_pad - A)).reshape(a_pad, 1)
-    slope_arr = slope_s.reshape(1, 1)
-    g_p = jnp.pad(g.astype(dtype), ((0, a_pad - A), (0, m_pad - m_out)))
-    abar, obar, sbar = _pallas_resample_bwd_call(
-        arr_p, off_p, slope_arr, g_p, n_data=N, m_pad=m_pad, chunk=chunk,
-        n_win=n_win, interpret=interpret)
-    arr_bar = abar[:A]
-    off_bar = obar[:A, 0].reshape(offsets.shape)
-    slope_bar = jnp.sum(sbar[:A, 0]).reshape(jnp.shape(slope))
+    i = jnp.arange(m_out, dtype=dtype)[None, :]
+    pos = offsets_s[:, None] + slope_s * i
+    ki = jnp.floor(pos).astype(jnp.int32)
+    v0 = jnp.take_along_axis(arr, jnp.clip(ki, 0, N - 1), axis=1)
+    v1 = jnp.take_along_axis(arr, jnp.clip(ki + 1, 0, N - 1), axis=1)
+    dpos = (jnp.where((ki + 1 >= 0) & (ki + 1 <= N - 1), v1, 0.0)
+            - jnp.where((ki >= 0) & (ki <= N - 1), v0, 0.0))
+    pc = g * dpos
+    off_bar = jnp.sum(pc, axis=1).reshape(offsets.shape)
+    slope_bar = jnp.sum(pc * i).reshape(jnp.shape(slope))
     return arr_bar, off_bar, slope_bar
 
 

@@ -14,7 +14,8 @@ f32): per source slab r and branch b the arc samples sit at
 
 and contribute ``(1-fy)*bilerp(slab_r) + fy*bilerp(slab_{r+1})``
 (reference arc quadrature, ``ray_voxel_utilities.py:88-94``); plane mode is
-the single-sided single-branch subset scaled by ``step/edy``.
+the single-sided single-branch subset scaled by ``1/edy`` (arc samples per
+unit y — mass-matched to the arc family at any step_size).
 
 TPU mapping (constraints probed on v5e Mosaic):
 
@@ -107,6 +108,16 @@ def _hat(d):
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
+def _dhat(d):
+    """d/dpos of hat(pos - tap): -sign(d) on |d| < 1 (a.e.)."""
+    return jnp.where(jnp.abs(d) < 1.0, -jnp.sign(d), 0.0)
+
+
+def _mhat(d):
+    """(tap - pos)-moment weight: -d·hat(d)."""
+    return -d * _hat(d)
+
+
 def _build_selz(zoff_pad, nzp, nv):
     """(NZP, MBA*nv) one-hot: tap z == v + zoff_pad + m (padded coords);
     the z<->v diagonal selection for the matmul pass A."""
@@ -118,7 +129,9 @@ def _build_selz(zoff_pad, nzp, nv):
 
 
 def _pass_a_zeta_chunk(p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc):
-    """zeta tile (XCH_A, nv) for the matmul pass A (unpadded z coords)."""
+    """zeta + (cf+b) tiles (XCH_A, nv) for the matmul pass A (unpadded
+    z coords); cfb is the grid sawtooth weight the 'zc' Jacobian
+    variant needs."""
     f32 = jnp.float32
     x_t = float(xc0) + lax.broadcasted_iota(
         jnp.int32, (XCH_A, nv), 0).astype(f32)
@@ -128,9 +141,11 @@ def _pass_a_zeta_chunk(p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc):
         w_xv = wa0r + p.wax * x_t + p.wav * v_t
         cf = jnp.ceil(w_xv) - w_xv
         zeta = zaff + p.edz * (cf + float(b))
+        cfb = cf + float(b)
     else:
         zeta = zaff
-    return zeta, v_t
+        cfb = jnp.zeros((XCH_A, nv), f32)
+    return zeta, v_t, cfb
 
 
 def _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp, arc):
@@ -186,7 +201,7 @@ def _pass_a_tiles(p, g8, r, b, cx_r, cz_r, wa0r, nv, arc):
 
 
 def _pass_b_tiles(p, u0, v0, r, b, cx_r, n_steps, arc):
-    """Per-sample (UCH, VCH) tiles: X, fy, ok for pass B."""
+    """Per-sample (UCH, VCH) tiles: X, fy, ok, march index j for pass B."""
     f32 = jnp.float32
     u_t = u0 + lax.broadcasted_iota(jnp.int32, (UCH, VCH), 0).astype(f32)
     v_t = v0 + lax.broadcasted_iota(jnp.int32, (UCH, VCH), 1).astype(f32)
@@ -201,8 +216,9 @@ def _pass_b_tiles(p, u0, v0, r, b, cx_r, n_steps, arc):
     else:
         fy = jnp.zeros((UCH, VCH), f32)
         ok = jnp.ones((UCH, VCH), f32)
+        j = jnp.zeros((UCH, VCH), f32)
         X = cx_r + u_t * p.eux + v_t * p.evx
-    return X, fy, ok
+    return X, fy, ok, j
 
 
 def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
@@ -230,10 +246,21 @@ def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
 
 
 def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
-                pacc_ref, *, nx, ny, nz, nu, nv, K, n_steps, arc, mrange):
-    """Forward: grid (V, C); out block (1, nu, nv) revisited across C."""
+                pacc_ref, *, nx, ny, nz, nu, nv, K, n_steps, arc, mrange,
+                deriv=None, jweight=False, rweight=False):
+    """Forward: grid (V, C); out block (1, nu, nv) revisited across C.
+
+    ``deriv``/``jweight``/``rweight`` select the Jacobian building-block
+    variants (same dataflow, one weight function swapped — see
+    ``slab_projector._forward_oriented_xla``): 'x' = pass-B hat',
+    'z' = pass-A hat', 'y' = fy-blend difference, 'zm' = pass-A hat' with
+    pass-B first-moment weights, 'zc' = pass-A hat' grid-weighted by
+    (cf+b); j/r weights multiply each sample by its march/slab index."""
     c = pl.program_id(1)
     f32 = jnp.float32
+    hat_a = _dhat if deriv in ("z", "zm", "zc") else _hat
+    hat_b = (_dhat if deriv == "x"
+             else _mhat if deriv == "zm" else _hat)
 
     @pl.when(c == 0)
     def _():
@@ -268,7 +295,7 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                                             nzp, arc)
                         selz = _build_selz(zoff, nzp, nv)
                         dims = (((1,), (0,)), ((), ()))
-                        zeta, v_t = _pass_a_zeta_chunk(
+                        zeta, v_t, cfb_a = _pass_a_zeta_chunk(
                             p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc)
                         tapb = (zoff - PADZ).astype(f32) + v_t
                         for s in range(n_sides):
@@ -282,8 +309,10 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                                       preferred_element_type=f32))
                             acc = jnp.zeros((XCH_A, nv), f32)
                             for m in range(MBA):
-                                acc += _hat(zeta - (tapb + float(m))) \
+                                acc += hat_a(zeta - (tapb + float(m))) \
                                     * mm[:, m * nv:(m + 1) * nv]
+                            if deriv == "zc":
+                                acc = acc * cfb_a
                             hi, lo = _split16(acc)
                             thi_ref[s, XP + xc0:XP + xc0 + XCH_A,
                                     :] = hi
@@ -305,7 +334,7 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                             def _(sb=sb):
                                 for m in range(sb, min(sb + SBA,
                                                        mrange[-1] + 1)):
-                                    w = _hat(zeta - (float(m) + v_t))
+                                    w = hat_a(zeta - (float(m) + v_t))
                                     for s in range(n_sides):
                                         rows = vol_ref[0, k + s,
                                                        pl.ds(g8, 8),
@@ -330,8 +359,8 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
 
                         @pl.when(rel)
                         def _(u0=u0, v0=v0, b=b, uc=uc, vc=vc, w8=w8):
-                            X, fy, ok = _pass_b_tiles(p, u0, v0, r, b,
-                                                      cx_r, n_steps, arc)
+                            X, fy, ok, j_t = _pass_b_tiles(
+                                p, u0, v0, r, b, cx_r, n_steps, arc)
                             sel = s_ref[...]
                             dims = (((1,), (0,)), ((), ()))
                             bands = []
@@ -350,16 +379,24 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                             base_x = (w8 - XP).astype(f32)
                             acc = jnp.zeros((UCH, VCH), f32)
                             for m in range(NBBW):
-                                wgt = _hat(X - (base_x + k0 + float(m)))
+                                wgt = hat_b(X - (base_x + k0 + float(m)))
                                 s0 = bands[0][m * UCH:(m + 1) * UCH, :]
-                                if arc:
+                                if arc and deriv == "y":
+                                    s1 = bands[1][m * UCH:(m + 1) * UCH, :]
+                                    acc += wgt * (s1 - s0)
+                                elif arc:
                                     s1 = bands[1][m * UCH:(m + 1) * UCH, :]
                                     acc += wgt * (s0 + fy * (s1 - s0))
                                 else:
                                     acc += wgt * s0
+                            wfin = ok * p.scale
+                            if jweight:
+                                wfin = wfin * j_t
+                            if rweight:
+                                wfin = wfin * r
                             out_ref[0, uc * UCH:(uc + 1) * UCH,
                                     vc * VCH:(vc + 1) * VCH] += \
-                                acc * (ok * p.scale)
+                                acc * wfin
 
 
 def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
@@ -411,7 +448,7 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                             @pl.when(rel)
                             def _(u0=u0, v0=v0, b=b, side=side, uc=uc,
                                   vc=vc, w8=w8):
-                                X, fy, ok = _pass_b_tiles(
+                                X, fy, ok, _jt = _pass_b_tiles(
                                     p, u0, v0, r, b, cx_r, n_steps, arc)
                                 sw = ((fy if side == 1 else 1.0 - fy)
                                       if arc else 1.0)
@@ -442,7 +479,7 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                             zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r,
                                                 nv, nzp, arc)
                             selz = _build_selz(zoff, nzp, nv)
-                            zeta, v_t = _pass_a_zeta_chunk(
+                            zeta, v_t, _cfb = _pass_a_zeta_chunk(
                                 p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc)
                             tapb = (zoff - PADZ).astype(f32) + v_t
                             tb = tbar_ref[XP + xc0:XP + xc0 + XCH_A, :]
@@ -482,69 +519,122 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                         lax.fori_loop(0, nx // 8, pass_at, 0)
 
 
+def _pad_dims(nu, nv, nz):
+    """Kernel-facing padded extents: detector u to UCH and v to VCH lanes,
+    volume z to 128 lanes (keeps NZP = nzk + 2*PADZ a 128-multiple — Mosaic
+    rejects matmul outputs on odd lane tiles).  The affine sample map is
+    detector-index based, so rays ``u < nu, v < nv`` are bit-identical to
+    the unpadded geometry: extra detector rows/cols are real rays cropped
+    after the call, extra z is zero volume pad contributing nothing.  This
+    is what lets the reference's arbitrary-size configs (64^3/90 views,
+    ``/root/reference/examples/generate_data.py:16``; free dims in
+    ``ray_wt_grad.f90:1-92``) run on the production kernel."""
+    nup = -(-nu // UCH) * UCH
+    nvp = -(-nv // VCH) * VCH
+    nzk = -(-nz // 128) * 128
+    return nup, nvp, nzk
+
+
 def _statics(geom, quad):
     nx, ny, nz = geom.vox_shape
     nu, nv = geom.det_shape
+    nup, nvp, nzk = _pad_dims(nu, nv, nz)
     # slabs per grid step: bounded by VMEM ((K+1, nx, NZP) f32 double-
     # buffered + T/selection scratch must stay within ~16MB)
     K = 8 if nx <= 128 else (6 if nx <= 256 else 1)
     C = -(-(ny + 1) // K)
-    mrange = list(range(-PADZ, nz - nv + PADZ + 1))
-    return dict(nx=nx, ny=ny, nz=nz, nu=nu, nv=nv, K=K,
+    mrange = list(range(-PADZ, nzk - nvp + PADZ + 1))
+    return dict(nx=nx, ny=ny, nz=nzk, nu=nup, nv=nvp, K=K,
                 n_steps=geom.n_steps, arc=(quad == "arc"),
                 mrange=mrange), C
 
 
-def kernel_supported(geom) -> bool:
-    """Static shape conditions for the fused kernel (else XLA fallback)."""
+def kernel_supported(geom, quad: str = "arc") -> bool:
+    """Static shape conditions for the fused kernel (else XLA fallback).
+
+    Non-128-multiple detector/z extents are handled by host-side zero
+    padding + crop in the wrappers (:func:`_pad_dims`); the remaining hard
+    requirements are the 8-aligned square x-y footprint and — in arc mode —
+    ``step_size`` large enough that 2 branches cover every slab interval
+    (the kernels hard-code ``n_branch = 2``; smaller steps need
+    ``ceil(sqrt(2)/step)`` branches and must take the XLA path)."""
     nx, ny, nz = geom.vox_shape
     nu, nv = geom.det_shape
-    return bool(nx % 8 == 0 and nv % 128 == 0 and nu % UCH == 0
-                and nz % 128 == 0 and nv <= nz + PADZ and nx == ny
+    if quad == "arc" and int(np.ceil(np.sqrt(2.0) / geom.step_size
+                                     + 0.01)) > 2:
+        return False
+    nup, nvp, nzk = _pad_dims(nu, nv, nz)
+    return bool(nx % 8 == 0 and nvp <= nzk + PADZ and nx == ny
+                and nx % XCH_A == 0
                 and nx + XP + XPH >= WINB + XP)
 
 
-def kernel_bounds_ok(scalars_np) -> bool:
+def kernel_bounds_ok(scalars_np, nv: int = 256) -> bool:
     """Per-view-batch dynamic bounds (rigid jitter must stay within the
-    static band budget; beyond → XLA fallback keeps correctness)."""
+    static band budget; beyond → XLA fallback keeps correctness).
+
+    ``nv`` is the detector-v extent: the z-per-v slope deviation ``zav``
+    accumulates over the half-detector from the window's center anchor.
+    Both pass-A variants are checked — the banded one (adjoint; 8-row
+    x-groups, so drift ``4.5*gzx``) and the selection-matmul one (forward;
+    XCH_A-row chunks, drift ``(XCH_A/2 + 0.5)*gzx``)."""
     s = np.asarray(scalars_np, np.float64)
+    nvh = _pad_dims(8, nv, 128)[1] / 2.0
     evx, edx = np.abs(s[:, S_EVX]), np.abs(s[:, S_EDX])
     eux = np.abs(s[:, S_EUX])
     gzx, edz = np.abs(s[:, S_GZX]), np.abs(s[:, S_EDZ])
     zav = np.abs(s[:, S_ZAV] - 1.0)
     pass_b = (evx * (VCH / 2) + 0.5 * edx <= (NBB - 4) / 2 - 0.05)
-    pass_a = (4.5 * gzx + edz + zav * 128.0 <= (AWIN - 3) / 2 - 0.1)
+    pass_a = (4.5 * gzx + edz + zav * nvh <= (AWIN - 3) / 2 - 0.1)
+    pass_a_mm = ((XCH_A / 2 + 0.5) * gzx + edz + zav * nvh
+                 <= (MBA - 3) / 2 - 0.1)
+    if PASS_A_MATMUL or PASS_A_MATMUL_ADJ:
+        pass_a = pass_a & pass_a_mm
     win = (8 + eux * (UCH - 1) + NBB + 7 <= WINB)
     return bool(np.all(pass_b & pass_a & win))
 
 
-def _prep_volume(vol_or, C, K):
-    """Oriented (nx, ny, nz) volume → overlapped (C, K+1, nx, NZP) f32."""
+def _prep_volume(vol_or, C, K, nzk=None):
+    """Oriented (nx, ny, nz) volume → overlapped (C, K+1, nx, NZP) f32,
+    with z zero-padded up to the kernel extent ``nzk`` (128-lane
+    multiple)."""
     nx, ny, nz = vol_or.shape
+    nzk = nz if nzk is None else nzk
     v = jnp.transpose(vol_or, (1, 0, 2)).astype(jnp.float32)  # (ny, nx, nz)
     rows = C * K + 1
-    v = jnp.pad(v, ((1, rows - ny - 1), (0, 0), (PADZ, PADZ)))
+    v = jnp.pad(v, ((1, rows - ny - 1), (0, 0),
+                    (PADZ, PADZ + (nzk - nz))))
     return jnp.stack([lax.dynamic_slice_in_dim(v, c * K, K + 1, axis=0)
                       for c in range(C)])
 
 
 def slab_project_pallas(vol_or, scalars, geom, quad: str,
-                        interpret: bool = False):
+                        interpret: bool = False, deriv: str | None = None,
+                        jweight: bool = False, rweight: bool = False):
     """Forward-project a batch of same-orientation views.
 
     :param vol_or: oriented volume (nx', ny', nz).
-    :param scalars: (V, NS) per-view scalar vectors.
+    :param scalars: (V, NS) per-view scalar vectors (may be traced — the
+        refinement loop feeds jnp scalars recomputed from θ each
+        iteration).
+    :param deriv/jweight/rweight: Jacobian building-block variants (see
+        :func:`_fwd_kernel`); arc mode only.
     :returns: (V, nu, nv) f32 sinograms (u-major within a view)."""
+    if deriv is not None or jweight or rweight:
+        assert quad == "arc", "Jacobian variants are arc-mode only"
+        assert PASS_A_MATMUL or deriv in (None, "x", "y"), \
+            "z-derivative variants need the matmul pass A"
     statics, C = _statics(geom, quad)
     V = scalars.shape[0]
     K = statics["K"]
-    vol_ov = _prep_volume(vol_or, C, K)
+    vol_ov = _prep_volume(vol_or, C, K, statics["nz"])
     nx, nz = statics["nx"], statics["nz"]
     nu, nv = statics["nu"], statics["nv"]
     NZP = nz + 2 * PADZ
     NXPS = nx + XP + XPH
-    kern = functools.partial(_fwd_kernel, **statics)
-    return pl.pallas_call(
+    kern = functools.partial(_fwd_kernel, deriv=deriv, jweight=jweight,
+                             rweight=rweight, **statics)
+    out = pl.pallas_call(
         kern,
         grid=(V, C),
         in_specs=[
@@ -566,6 +656,8 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(scalars.astype(jnp.float32).reshape(-1, 1, NS), vol_ov)
+    nu0, nv0 = geom.det_shape
+    return out[:, :nu0, :nv0]
 
 
 def slab_backproject_pallas(gbar, scalars, geom, quad: str,
@@ -578,6 +670,10 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
     K = statics["K"]
     NZP = nz + 2 * PADZ
     NXPS = nx + XP + XPH
+    nu0, nv0 = geom.det_shape
+    if (nu, nv) != (nu0, nv0):
+        gbar = jnp.pad(gbar.reshape(V, nu0, nv0),
+                       ((0, 0), (0, nu - nu0), (0, nv - nv0)))
     kern = functools.partial(_adj_kernel, **statics)
     out = pl.pallas_call(
         kern,
@@ -600,5 +696,6 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(scalars.astype(jnp.float32).reshape(-1, 1, NS),
       gbar.astype(jnp.float32))
-    vol = out.reshape(C * K, nx, NZP)[:ny, :, PADZ:PADZ + nz]
+    nz0 = geom.vox_shape[2]
+    vol = out.reshape(C * K, nx, NZP)[:ny, :, PADZ:PADZ + nz0]
     return jnp.transpose(vol, (1, 0, 2))
