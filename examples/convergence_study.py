@@ -100,6 +100,10 @@ def main():
                     help="solver iterations per device program "
                          "(the runtime watchdog kills long programs at >=64^3)")
     ap.add_argument("--refine-iters", type=int, default=12)
+    ap.add_argument("--refine-chunk", type=int, default=None,
+                    help="views per refinement chunk (default: memory "
+                         "heuristic; pass n_views to disable chunking "
+                         "and minimize distinct kernel compiles)")
     ap.add_argument("--jitter-px", type=float, default=2.0)
     ap.add_argument("--jitter-deg", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
@@ -112,10 +116,15 @@ def main():
                          "semi-convergence)")
     ap.add_argument("--recon-iters-polish", type=int, default=120)
     ap.add_argument("--refine-iters-polish", type=int, default=40)
-    ap.add_argument("--refine-bulk", default="lm",
-                    choices=["lm", "gd_fast"],
-                    help="refinement for the bulk stage (lm avoids the "
-                         "fast-family backward kernels entirely)")
+    ap.add_argument("--refine-bulk", default=None,
+                    choices=["lm", "gd_fast", "lm_slab"],
+                    help="refinement for the bulk stage (default: lm_slab "
+                         "— batched box-LM on the slab family's analytic "
+                         "Jacobian through the fused kernel — at >=64^3, "
+                         "exact-family lm below)")
+    ap.add_argument("--refine-polish", default="lm",
+                    choices=["lm", "lm_slab"],
+                    help="refinement for the exact/polish stages")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (cpu/tpu)")
     ap.add_argument("--out", default=None)
@@ -188,11 +197,13 @@ def main():
     print(f"[com] tx(raw/gc)={e0['raw']['tx']['max']:.2e}/"
           f"{e0['gauge_corrected']['tx']['max']:.2e}", flush=True)
 
-    # recon families by scale: the fused slab kernel needs >=128-wide
-    # detectors; below that the exact ray family is fast enough on TPU
-    # and bit-matches the data-generating operator
-    fam_bulk = "slab_plane" if n >= 128 else "ray"
-    fam_polish = "slab" if n >= 128 else "ray"
+    # recon families by scale: the fused slab kernel handles arbitrary
+    # extents via lane padding (round 3), so the production operator
+    # takes over from 64^3 up; below that the exact ray family is fast
+    # enough on TPU and bit-matches the data-generating operator
+    fam_bulk = "slab_plane" if n >= 64 else "ray"
+    fam_polish = "slab" if n >= 64 else "ray"
+    refine_bulk = args.refine_bulk or ("lm_slab" if n >= 64 else "lm")
 
     state = None
     if args.outers_fast > 0:
@@ -200,8 +211,9 @@ def main():
             proj_meas, geom, views0, outer_iters=args.outers_fast,
             recon="sirt", recon_iters=args.recon_iters,
             recon_chunk=args.recon_chunk,
+            refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method=args.refine_bulk, family=fam_bulk,
+            refine_method=refine_bulk, family=fam_bulk,
             callback=cb("fast"))
         views0 = state.views
     if args.outers_exact > 0:
@@ -212,8 +224,9 @@ def main():
             proj_meas, geom, views0, outer_iters=args.outers_exact,
             recon=args.recon, recon_iters=args.recon_iters,
             recon_chunk=args.recon_chunk,
+            refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method="lm", family=fam_polish,
+            refine_method=args.refine_polish, family=fam_polish,
             volume0=None if state is None else state.volume,
             callback=cb("exact"))
     if args.outers_polish > 0:
@@ -221,9 +234,10 @@ def main():
             proj_meas, geom, state.views, outer_iters=args.outers_polish,
             recon=args.recon, recon_iters=args.recon_iters_polish,
             recon_chunk=args.recon_chunk,
+            refine_chunk=args.refine_chunk,
             param_set=args.param_set,
             refine_iters=args.refine_iters_polish,
-            refine_method="lm", family=fam_polish,
+            refine_method=args.refine_polish, family=fam_polish,
             volume0=state.volume, callback=cb("polish"))
 
     record["total_wall_s"] = time.perf_counter() - t_start

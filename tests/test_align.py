@@ -350,3 +350,43 @@ def test_refine_views_slab_angles():
     err0 = np.abs(np.stack([al, be], -1)).mean()
     err = np.abs(got[:, [4, 5]] - np.stack([al, be], -1)).mean()
     assert err < 0.2 * err0, (err, err0)
+
+
+@pytest.mark.slow
+def test_align_to_reprojection_bounded_and_com_superior():
+    """Characterization of the round-2 advisor finding: at few-view
+    configurations the self-reconstruction attenuation is near-total, so
+    align_to_reprojection (now deprecated from the public exports, see
+    its warning) improves only modestly and must at least not diverge;
+    com_align solves the same scenario in one shot."""
+    from tomojax.align.cc import align_to_reprojection
+    from tomojax.align import com_align
+    n, n_proj = 32, 24
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    rng = np.random.default_rng(0)
+    phi = np.linspace(0, np.pi, n_proj, endpoint=False)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-2, 2, n_proj)
+    t[:, 2] = rng.uniform(-2, 2, n_proj)
+    true_views = Views.create(n_proj, phi=phi, t=t)
+    meas = projector.project(vol, geom, true_views)
+
+    def resid_of(tgot):
+        res = np.asarray(tgot)[:, [0, 2]] - t[:, [0, 2]]
+        res -= res.mean(axis=0)
+        return np.abs(res).mean()
+
+    views0 = Views.create(n_proj, phi=phi)
+    out, _ = align_to_reprojection(meas, geom, views0, rounds=4,
+                                   recon_iters=10, family="ray")
+    r_reproj = resid_of(out.t)
+    r0 = resid_of(views0.t)
+    assert r_reproj < r0, (r_reproj, r0)          # improves, no divergence
+
+    est = np.asarray(com_align(meas, geom, phi))
+    t_com = np.zeros((n_proj, 3))
+    t_com[:, 0] = est[:, 0]
+    t_com[:, 2] = est[:, 1]
+    r_com = resid_of(t_com)
+    assert r_com < 0.3 and r_com < r_reproj, (r_com, r_reproj)

@@ -170,3 +170,46 @@ def test_volume_sharded_slab_matches_single_device(problem):
                     F32)
     ref_AT = slabp.backproject(y, geom, views, dtype=F32, quad="arc")
     np.testing.assert_allclose(ops.AT(y), ref_AT, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_volume_sharded_slab_kernel_route(monkeypatch):
+    """Volume-sharded slab operator routed through the PALLAS KERNEL
+    (interpret mode on the CPU mesh): forward and adjoint must equal the
+    single-device XLA slab family. This is the >HBM-volume production
+    path — round-2 weak #6 was that it only ever ran the XLA fallback."""
+    from tomojax.core import slab_projector as slabp
+    from tomojax.dist import make_volume_sharded_slab_operator
+    n, n_proj = 32, 2
+    geom = Geometry(n_proj=n_proj, vox_shape=(n, n, n), det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    rng = np.random.default_rng(3)
+    # both views in one octant (phi ~ 0.3): one group => one interpret
+    # compile each for forward and adjoint (the full octant sweep runs on
+    # the XLA path in test_volume_sharded_slab_matches_single_device)
+    views = Views.create(
+        n_proj, phi=np.asarray([0.3, 0.45]),
+        alpha=rng.uniform(-0.008, 0.008, n_proj),
+        beta=rng.uniform(-0.008, 0.008, n_proj),
+        t=np.stack([rng.uniform(-1, 1, n_proj), np.zeros(n_proj),
+                    rng.uniform(-1, 1, n_proj)], -1))
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    monkeypatch.setenv("TOMOJAX_SLAB_KERNEL", "interpret")
+    ops = make_volume_sharded_slab_operator(geom, views, mesh, quad="arc",
+                                            dtype=F32, halo=12)
+    assert "slab-volume-sharded" in ops.family
+    # references through the XLA scalar path (project() would also route
+    # to the interpret kernel while the env var is set — force it off,
+    # then restore for the sharded applies)
+    monkeypatch.setenv("TOMOJAX_SLAB_KERNEL", "0")
+    ref_A = slabp.project(vol, geom, views, dtype=F32, quad="arc")
+    y = jnp.asarray(rng.standard_normal(ref_A.shape), F32)
+    ref_AT = slabp.backproject(y, geom, views, dtype=F32, quad="arc")
+    monkeypatch.setenv("TOMOJAX_SLAB_KERNEL", "interpret")
+    got_A = ops.A(vol)
+    rel = float(jnp.linalg.norm(got_A - ref_A) / jnp.linalg.norm(ref_A))
+    assert rel < 1e-3, rel
+    got_AT = ops.AT(y)
+    rel = float(jnp.linalg.norm(got_AT - ref_AT)
+                / jnp.linalg.norm(ref_AT))
+    assert rel < 1e-3, rel

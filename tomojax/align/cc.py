@@ -211,10 +211,23 @@ def align_to_reprojection(projections, geom, views, *, rounds: int = 2,
     reproject → per-view subpixel phase correlation (batched; vmapped
     matrix-DFT upsampling) → update ``(tx, tz)``. The reconstruction
     partially absorbs each view's misalignment (it is fit to the
-    misaligned data), so the measured shift is an *attenuated* estimate of
-    the residual (measured attenuation ~0.2-0.4 at 10 SIRT iterations);
-    ``gain`` compensates and the fixed-point iteration converges
-    geometrically over ``rounds``.
+    misaligned data, including view i itself), so the measured shift is
+    a strongly *attenuated* estimate of the residual.
+
+    .. warning:: EXPERIMENTAL — not exported from ``tomojax.align``.
+       At few-view configurations the self-consistency attenuation is
+       near-total (measured ~0.05 pass-through at 32^3/24 views with
+       SIRT-10: the reprojection of the self-reconstruction reproduces
+       each view's own misalignment), and no gain schedule fixes that —
+       an online secant gain was tried and either overshoots into noise
+       (cap 50) or stalls at ~0.8 px (cap 8), matching the round-2
+       advisor's measurement. The principled fix is a leave-one-out
+       reconstruction per view (n_views× cost). Use :func:`com_align`
+       instead: exact, one-shot, drift-free (<0.2 px in the same
+       scenario). This function remains for the truncated-projection /
+       intensity-variation cases where the COM-consistency condition
+       breaks and many views are available (the classical
+       projection-matching regime).
 
     :returns: (views with updated ``t``, (n_proj, 2) last-round shifts).
     """
@@ -226,6 +239,7 @@ def align_to_reprojection(projections, geom, views, *, rounds: int = 2,
     gain = 1.8
     meas = jnp.asarray(projections, dtype).reshape(n, nu, nv)
     shifts = jnp.zeros((n, 2), dtype)
+    prev = None
     for _ in range(rounds):
         op = make_operator(geom, views, family=family, dtype=dtype)
         rec = sirt_solve(op, meas.reshape(n, -1), niter=recon_iters,
@@ -233,6 +247,15 @@ def align_to_reprojection(projections, geom, views, *, rounds: int = 2,
         synth = op.A(rec).reshape(n, nu, nv)
         shifts = jax.vmap(lambda a, b: phase_cross_correlation(
             a, b, upsample_factor=upsample_factor))(synth, meas)
+        if prev is not None:
+            # secant gain estimate; conservative cap — at near-total
+            # attenuation larger gains amplify correlation noise (see
+            # the warning above)
+            rho = float(jnp.vdot(shifts, prev).real
+                        / jnp.maximum(jnp.vdot(prev, prev).real, 1e-12))
+            atten = max((1.0 - rho) / gain, 1e-3)
+            gain = float(np.clip(1.0 / atten, 1.0, 8.0))
+        prev = shifts
         # empirically pcc(synth, meas) tracks +(t_true - t_est) in
         # (u, v) = (tx, tz) (attenuated): move the estimate toward it
         t = views.t.at[:, 0].add(gain * shifts[:, 0])

@@ -22,6 +22,8 @@ Jacobian" — the θ-gradient runs entirely on the production operator.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -106,30 +108,27 @@ def _group_value_jac(vol_or, theta, cor, geom: Geometry, flags,
     return out["val"], jac
 
 
-def _refine_group(vol_or, meas, theta0, cor, geom: Geometry, flags,
-                  mask, lo, hi, *, max_iter, lm_lambda0, use_kernel,
-                  dtype):
-    """Batched box-LM over one orientation group (all views together).
+@functools.lru_cache(maxsize=64)
+def _step_fns(geom: Geometry, flags, use_kernel: bool, dtype):
+    """Jitted (cost, LM-step) pair for one (geometry, octant) combo.
 
-    Per-view damping λ with the standard accept/reject update; the trial
-    cost for every view is one batched forward call."""
-    V = theta0.shape[0]
-    mask_f = mask.astype(dtype)
+    The LM loop is host-stepped — one device program per iteration — so
+    no single program outgrows the runtime watchdog, and the compiled
+    step is reused across view chunks / outer iterations (the kernel
+    wrappers bucket the batch size to multiples of 8 for the same
+    reason)."""
 
     def sc_of(t6, c):
         return sp.slab_scalars_jnp(geom, t6, c, flags[0], flags[1],
                                    flags[2], "arc", dtype=dtype)
 
-    def forward(theta):
+    def costs(vol_or, meas, cor, theta):
         scalars = jax.vmap(sc_of)(theta, cor)
-        return _batched_forward(vol_or, scalars, geom, use_kernel, dtype)
-
-    def costs(theta):
-        r = forward(theta) - meas
+        r = _batched_forward(vol_or, scalars, geom, use_kernel,
+                             dtype) - meas
         return 0.5 * jnp.sum(r * r, axis=(1, 2))
 
-    def body(carry, _):
-        theta, lam, cost = carry
+    def step(vol_or, meas, cor, mask_f, lo, hi, theta, lam, cost):
         val, jac = _group_value_jac(vol_or, theta, cor, geom, flags,
                                     use_kernel, dtype)
         r = val - meas                                   # (V, nu, nv)
@@ -142,18 +141,33 @@ def _refine_group(vol_or, meas, theta0, cor, geom: Geometry, flags,
               + jnp.einsum("vk,kl->vkl", damp, jnp.eye(6, dtype=dtype)))
         delta = -jnp.linalg.solve(Hd, (g * mask_f[None])[..., None])[..., 0]
         theta_new = jnp.clip(theta + delta * mask_f[None], lo, hi)
-        cost_new = costs(theta_new)
+        cost_new = costs(vol_or, meas, cor, theta_new)
         improved = cost_new < cost
         theta2 = jnp.where(improved[:, None], theta_new, theta)
         lam2 = jnp.where(improved, jnp.maximum(lam / 3.0, 1e-12),
                          lam * 10.0)
         cost2 = jnp.where(improved, cost_new, cost)
-        return (theta2, lam2, cost2), None
+        return theta2, lam2, cost2
 
-    cost0 = costs(theta0)
-    lam0 = jnp.full((V,), lm_lambda0, dtype)
-    (theta, lam, cost), _ = lax.scan(body, (theta0, lam0, cost0),
-                                     None, length=max_iter)
+    return jax.jit(costs), jax.jit(step)
+
+
+def _refine_group(vol_or, meas, theta0, cor, geom: Geometry, flags,
+                  mask, lo, hi, *, max_iter, lm_lambda0, use_kernel,
+                  dtype):
+    """Batched box-LM over one orientation group (all views together).
+
+    Per-view damping λ with the standard accept/reject update; the trial
+    cost for every view is one batched forward call."""
+    V = theta0.shape[0]
+    mask_f = mask.astype(dtype)
+    cost_fn, step_fn = _step_fns(geom, flags, use_kernel, dtype)
+    cost = cost_fn(vol_or, meas, cor, theta0)
+    theta = theta0
+    lam = jnp.full((V,), lm_lambda0, dtype)
+    for _ in range(max_iter):
+        theta, lam, cost = step_fn(vol_or, meas, cor, mask_f, lo, hi,
+                                   theta, lam, cost)
     return theta, cost
 
 

@@ -599,6 +599,9 @@ def _use_slab_kernel(geom: Geometry, dtype, quad: str = "arc") -> bool:
     flag = os.environ.get("TOMOJAX_SLAB_KERNEL")
     if flag == "0":
         return False
+    from tomojax.kernels import slab as slabk
+    if flag == "interpret":   # Pallas interpreter on any backend (tests)
+        return dtype == jnp.float32 and slabk.kernel_supported(geom, quad)
     if flag != "1" and os.environ.get("TOMOJAX_NO_PALLAS"):
         return False
     try:
@@ -607,7 +610,6 @@ def _use_slab_kernel(geom: Geometry, dtype, quad: str = "arc") -> bool:
         return False
     if backend != "tpu" or dtype != jnp.float32:
         return False
-    from tomojax.kernels import slab as slabk
     return slabk.kernel_supported(geom, quad)
 
 

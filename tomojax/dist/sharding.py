@@ -320,6 +320,23 @@ def make_volume_sharded_slab_operator(geom: Geometry, views: Views,
                           det_shape=(nu, nvl), vox_pix=geom.vox_pix,
                           det_pix=geom.det_pix, step_size=geom.step_size)
 
+    # kernel routing: the LOCAL geometry decides (round-2 weak #6 — the
+    # volume-sharded operator ran XLA-only); TOMOJAX_SLAB_KERNEL=interpret
+    # exercises the kernel path on CPU meshes in tests
+    import os
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    use_kernel = ((backend == "tpu"
+                   or os.environ.get("TOMOJAX_SLAB_KERNEL") == "interpret")
+                  and os.environ.get("TOMOJAX_SLAB_KERNEL") != "0"
+                  and not (os.environ.get("TOMOJAX_NO_PALLAS")
+                           and os.environ.get("TOMOJAX_SLAB_KERNEL")
+                           not in ("1", "interpret"))
+                  and dtype == jnp.float32
+                  and slabk.kernel_supported(local_geom, quad))
+
     groups = []
     for idx, sw, yf, uf in slabp._orient_groups(views_np, geom):
         sub = jax.tree.map(lambda a: a[idx], views_np)
@@ -331,6 +348,8 @@ def make_volume_sharded_slab_operator(geom: Geometry, views: Views,
                     + np.abs(sc[:, slabk.S_ZAV] - 1.0) * nv + 4)
         assert np.all(zoff_max < H), (
             f"halo {H} too small for per-view offsets {zoff_max.max():.1f}")
+        if use_kernel and not slabk.kernel_bounds_ok(sc, nv=nvl):
+            use_kernel = False
         pad = (-len(idx)) % n_pshard
         if pad:
             sc = np.concatenate([sc, np.repeat(sc[-1:], pad, axis=0)])
@@ -361,6 +380,11 @@ def make_volume_sharded_slab_operator(geom: Geometry, views: Views,
             sc_loc = _shift_scalars(sc_shard)
             vol_halo = _halo_exchange(vol_shard)
             vol_or = slabp.orient_volume(vol_halo, local_geom, sw, yf)
+            if use_kernel:
+                # custom_vjp wrapper: adj_local's jax.vjp routes through
+                # the dedicated transpose kernel
+                return slabp._apply_kernel(vol_or, sc_loc, local_geom,
+                                           quad)
             f = lambda row: slabp.forward_from_scalars_xla(
                 vol_or, row, local_geom, quad, dtype)
             return jax.vmap(f)(sc_loc)                  # (Vl, nu, nvl)

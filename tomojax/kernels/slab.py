@@ -44,6 +44,7 @@ slab block stays VMEM-resident while every view accumulates into it
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -128,14 +129,23 @@ def _build_selz(zoff_pad, nzp, nv):
     return (z == v + m + zoff_pad).astype(jnp.bfloat16)
 
 
-def _pass_a_zeta_chunk(p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc):
-    """zeta + (cf+b) tiles (XCH_A, nv) for the matmul pass A (unpadded
+def _xch(nx):
+    """Pass-A matmul x-chunk: largest of (64, 32, 16) dividing nx."""
+    for c in (XCH_A, 32, 16):
+        if nx % c == 0:
+            return c
+    return None
+
+
+def _pass_a_zeta_chunk(p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc,
+                       xch=XCH_A):
+    """zeta + (cf+b) tiles (xch, nv) for the matmul pass A (unpadded
     z coords); cfb is the grid sawtooth weight the 'zc' Jacobian
     variant needs."""
     f32 = jnp.float32
     x_t = float(xc0) + lax.broadcasted_iota(
-        jnp.int32, (XCH_A, nv), 0).astype(f32)
-    v_t = lax.broadcasted_iota(jnp.int32, (XCH_A, nv), 1).astype(f32)
+        jnp.int32, (xch, nv), 0).astype(f32)
+    v_t = lax.broadcasted_iota(jnp.int32, (xch, nv), 1).astype(f32)
     zaff = cz_r + p.gzx * (x_t - cx_r - v_t * p.evx) + v_t * p.evz
     if arc:
         w_xv = wa0r + p.wax * x_t + p.wav * v_t
@@ -144,14 +154,14 @@ def _pass_a_zeta_chunk(p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc):
         cfb = cf + float(b)
     else:
         zeta = zaff
-        cfb = jnp.zeros((XCH_A, nv), f32)
+        cfb = jnp.zeros((xch, nv), f32)
     return zeta, v_t, cfb
 
 
-def _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp, arc):
+def _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp, arc, xch=XCH_A):
     """Branch-shared 'diagonal intercept' anchor for an x-chunk (padded)."""
     vm = nv / 2.0
-    zc = (cz_r + p.gzx * (float(xc0) + XCH_A / 2.0 - cx_r - vm * p.evx)
+    zc = (cz_r + p.gzx * (float(xc0) + xch / 2.0 - cx_r - vm * p.evx)
           + vm * p.evz - vm + (p.edz if arc else 0.0))
     zoff = jnp.floor(zc).astype(jnp.int32) - (MBA - 2) // 2 + PADZ
     return jnp.clip(zoff, 0, nzp - nv - MBA)
@@ -290,16 +300,17 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                     # reads, no gates (T has 2 slots so 512^3 fits VMEM;
                     # the matmuls are recomputed per branch) ----
                     nzp = nz + 2 * PADZ
-                    for xc0 in range(0, nx, XCH_A):
+                    xch = _xch(nx)
+                    for xc0 in range(0, nx, xch):
                         zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv,
-                                            nzp, arc)
+                                            nzp, arc, xch)
                         selz = _build_selz(zoff, nzp, nv)
                         dims = (((1,), (0,)), ((), ()))
                         zeta, v_t, cfb_a = _pass_a_zeta_chunk(
-                            p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc)
+                            p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc, xch)
                         tapb = (zoff - PADZ).astype(f32) + v_t
                         for s in range(n_sides):
-                            rows = vol_ref[0, k + s, xc0:xc0 + XCH_A, :]
+                            rows = vol_ref[0, k + s, xc0:xc0 + xch, :]
                             rhi, rlo = _split16(rows)
                             mm = (lax.dot_general(
                                       rhi, selz, dims,
@@ -307,16 +318,16 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                                   + lax.dot_general(
                                       rlo, selz, dims,
                                       preferred_element_type=f32))
-                            acc = jnp.zeros((XCH_A, nv), f32)
+                            acc = jnp.zeros((xch, nv), f32)
                             for m in range(MBA):
                                 acc += hat_a(zeta - (tapb + float(m))) \
                                     * mm[:, m * nv:(m + 1) * nv]
                             if deriv == "zc":
                                 acc = acc * cfb_a
                             hi, lo = _split16(acc)
-                            thi_ref[s, XP + xc0:XP + xc0 + XCH_A,
+                            thi_ref[s, XP + xc0:XP + xc0 + xch,
                                     :] = hi
-                            tlo_ref[s, XP + xc0:XP + xc0 + XCH_A,
+                            tlo_ref[s, XP + xc0:XP + xc0 + xch,
                                     :] = lo
                 else:
                     # ---------- pass A: T[side, x, v] ----------
@@ -475,14 +486,16 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                     # ---- pass-A transpose: T-bar → slab ----
                     if PASS_A_MATMUL_ADJ:
                         nzp = nz + 2 * PADZ
-                        for xc0 in range(0, nx, XCH_A):
+                        xch = _xch(nx)
+                        for xc0 in range(0, nx, xch):
                             zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r,
-                                                nv, nzp, arc)
+                                                nv, nzp, arc, xch)
                             selz = _build_selz(zoff, nzp, nv)
                             zeta, v_t, _cfb = _pass_a_zeta_chunk(
-                                p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc)
+                                p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc,
+                                xch)
                             tapb = (zoff - PADZ).astype(f32) + v_t
-                            tb = tbar_ref[XP + xc0:XP + xc0 + XCH_A, :]
+                            tb = tbar_ref[XP + xc0:XP + xc0 + xch, :]
                             wt = jnp.concatenate(
                                 [_hat(zeta - (tapb + float(m))) * tb
                                  for m in range(MBA)], axis=1)
@@ -494,7 +507,7 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                                 + lax.dot_general(
                                     wlo, selz, (((1,), (1,)), ((), ())),
                                     preferred_element_type=f32))
-                            out_ref[0, k, xc0:xc0 + XCH_A, :] += sbar
+                            out_ref[0, k, xc0:xc0 + xch, :] += sbar
                     else:
                         def pass_at(g, _, b=b):
                             g8 = pl.multiple_of(g * 8, 8)
@@ -565,7 +578,7 @@ def kernel_supported(geom, quad: str = "arc") -> bool:
         return False
     nup, nvp, nzk = _pad_dims(nu, nv, nz)
     return bool(nx % 8 == 0 and nvp <= nzk + PADZ and nx == ny
-                and nx % XCH_A == 0
+                and _xch(nx) is not None
                 and nx + XP + XPH >= WINB + XP)
 
 
@@ -624,8 +637,19 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
         assert quad == "arc", "Jacobian variants are arc-mode only"
         assert PASS_A_MATMUL or deriv in (None, "x", "y"), \
             "z-derivative variants need the matmul pass A"
+    if os.environ.get("TOMOJAX_SLAB_KERNEL") == "interpret":
+        interpret = True      # CPU-mesh tests of kernel-routed operators
     statics, C = _statics(geom, quad)
-    V = scalars.shape[0]
+    V0 = scalars.shape[0]
+    V = -(-V0 // 8) * 8     # bucket the view-batch size: every group /
+    #                         refinement chunk size would otherwise be a
+    #                         distinct Mosaic compile (slow + a hang risk
+    #                         on the flaky worker); dummy rows replicate
+    #                         row 0 and are cropped
+    if V != V0:
+        scalars = jnp.concatenate(
+            [scalars, jnp.broadcast_to(scalars[:1],
+                                       (V - V0,) + scalars.shape[1:])])
     K = statics["K"]
     vol_ov = _prep_volume(vol_or, C, K, statics["nz"])
     nx, nz = statics["nx"], statics["nz"]
@@ -657,23 +681,32 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(scalars.astype(jnp.float32).reshape(-1, 1, NS), vol_ov)
     nu0, nv0 = geom.det_shape
-    return out[:, :nu0, :nv0]
+    return out[:V0, :nu0, :nv0]
 
 
 def slab_backproject_pallas(gbar, scalars, geom, quad: str,
                             interpret: bool = False):
     """Adjoint: (V, nu, nv) cotangents → oriented volume (nx', ny', nz)."""
+    if os.environ.get("TOMOJAX_SLAB_KERNEL") == "interpret":
+        interpret = True
     statics, C = _statics(geom, quad)
-    V = scalars.shape[0]
+    V0 = scalars.shape[0]
+    V = -(-V0 // 8) * 8     # V-bucketing (see slab_project_pallas):
+    #                         dummy rows carry zero cotangents, so the
+    #                         summed adjoint is unchanged
     nx, ny, nz = statics["nx"], statics["ny"], statics["nz"]
     nu, nv = statics["nu"], statics["nv"]
     K = statics["K"]
     NZP = nz + 2 * PADZ
     NXPS = nx + XP + XPH
     nu0, nv0 = geom.det_shape
-    if (nu, nv) != (nu0, nv0):
-        gbar = jnp.pad(gbar.reshape(V, nu0, nv0),
-                       ((0, 0), (0, nu - nu0), (0, nv - nv0)))
+    gbar = gbar.reshape(V0, nu0, nv0)
+    if (nu, nv) != (nu0, nv0) or V != V0:
+        gbar = jnp.pad(gbar, ((0, V - V0), (0, nu - nu0), (0, nv - nv0)))
+    if V != V0:
+        scalars = jnp.concatenate(
+            [scalars, jnp.broadcast_to(scalars[:1],
+                                       (V - V0,) + scalars.shape[1:])])
     kern = functools.partial(_adj_kernel, **statics)
     out = pl.pallas_call(
         kern,
