@@ -75,20 +75,25 @@ def main():
         adj = jax.jit(lambda y: projector.backproject(y, geom.vox_shape,
                                                       geom, views))
 
-    sino = fwd(vol)
-    sino.block_until_ready()
-    back = adj(sino)
-    back.block_until_ready()
-
-    # chain iterations through a data dependency: the runtime caches
-    # repeated executions with identical arguments
-    t0 = time.perf_counter()
-    x = vol
-    for _ in range(reps):
+    # one fused device program per rep: iterations chain through a data
+    # dependency (the runtime caches repeated executions with identical
+    # arguments), and the chaining update lives INSIDE jit — an eager
+    # op between reps costs a full tunnel round-trip on axon and was
+    # dominating the measurement (72-134 proj/s run-to-run scatter for a
+    # 234 proj/s operator)
+    @jax.jit
+    def step(x, x0):
         sino = fwd(x)
         back = adj(sino)
-        x = vol + 1e-30 * back
-    jax.block_until_ready((sino, back))
+        return x0 + 1e-30 * back, sino, back
+
+    x, sino, back = step(vol, vol)
+    jax.block_until_ready((x, sino, back))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x, sino, back = step(x, vol)
+    jax.block_until_ready((x, sino, back))
     dt = time.perf_counter() - t0
 
     proj_per_s = reps * n_proj / dt

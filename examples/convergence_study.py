@@ -122,12 +122,19 @@ def main():
                          "— batched box-LM on the slab family's analytic "
                          "Jacobian through the fused kernel — at >=64^3, "
                          "exact-family lm below)")
-    ap.add_argument("--refine-polish", default="lm",
+    ap.add_argument("--refine-polish", default=None,
                     choices=["lm", "lm_slab"],
-                    help="refinement for the exact/polish stages")
+                    help="refinement for the exact/polish stages "
+                         "(default: lm_slab at >=64^3 — one exact-family "
+                         "LM program over many views exceeds the runtime "
+                         "watchdog there — exact-family lm below)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (cpu/tpu)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="per-stage checkpoint/resume dir (default: "
+                         "<out>.ckpt when --out is set) — the flaky TPU "
+                         "worker makes multi-hour runs restart-prone")
     args = ap.parse_args()
 
     if args.platform:
@@ -156,10 +163,24 @@ def main():
     t_true[:, 2] = truth["tz"]
     views_true = Views.create(n_proj, phi=phi, alpha=truth["alpha"],
                               beta=truth["beta"], t=t_true)
-    print(f"[gen] projecting {n}^3 phantom, {n_proj} jittered views "
-          f"(±{args.jitter_px} px, ±{args.jitter_deg} deg)", flush=True)
-    proj_meas = projector.project(vol, geom, views_true)
-    jax.block_until_ready(proj_meas)
+    # measured data is deterministic in (size, views, jitter, seed):
+    # cache it in the checkpoint dir so watchdog restarts skip the
+    # minutes-long exact-family projection
+    ckpt_root = args.ckpt_dir or (args.out + ".ckpt" if args.out else None)
+    data_cache = (os.path.join(ckpt_root, "data.npz") if ckpt_root
+                  else None)
+    if data_cache and os.path.exists(data_cache):
+        proj_meas = jnp.asarray(np.load(data_cache)["proj"])
+        print(f"[gen] loaded cached projections from {data_cache}",
+              flush=True)
+    else:
+        print(f"[gen] projecting {n}^3 phantom, {n_proj} jittered views "
+              f"(±{args.jitter_px} px, ±{args.jitter_deg} deg)", flush=True)
+        proj_meas = projector.project(vol, geom, views_true)
+        jax.block_until_ready(proj_meas)
+        if data_cache:
+            os.makedirs(ckpt_root, exist_ok=True)
+            np.savez_compressed(data_cache, proj=np.asarray(proj_meas))
 
     record = {"config": vars(args), "iters": []}
     t_start = time.perf_counter()
@@ -204,11 +225,22 @@ def main():
     fam_bulk = "slab_plane" if n >= 64 else "ray"
     fam_polish = "slab" if n >= 64 else "ray"
     refine_bulk = args.refine_bulk or ("lm_slab" if n >= 64 else "lm")
+    refine_polish = args.refine_polish or ("lm_slab" if n >= 64 else "lm")
+
+    ckpt = ckpt_root
+
+    def stage_ckpt(stage):
+        if not ckpt:
+            return None
+        d = os.path.join(ckpt, stage)
+        os.makedirs(d, exist_ok=True)
+        return d
 
     state = None
     if args.outers_fast > 0:
         state = align_reconstruct(
             proj_meas, geom, views0, outer_iters=args.outers_fast,
+            checkpoint_dir=stage_ckpt("fast"),
             recon="sirt", recon_iters=args.recon_iters,
             recon_chunk=args.recon_chunk,
             refine_chunk=args.refine_chunk,
@@ -226,7 +258,8 @@ def main():
             recon_chunk=args.recon_chunk,
             refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method=args.refine_polish, family=fam_polish,
+            refine_method=refine_polish, family=fam_polish,
+            checkpoint_dir=stage_ckpt("exact"),
             volume0=None if state is None else state.volume,
             callback=cb("exact"))
     if args.outers_polish > 0:
@@ -237,7 +270,8 @@ def main():
             refine_chunk=args.refine_chunk,
             param_set=args.param_set,
             refine_iters=args.refine_iters_polish,
-            refine_method=args.refine_polish, family=fam_polish,
+            refine_method=refine_polish, family=fam_polish,
+            checkpoint_dir=stage_ckpt("polish"),
             volume0=state.volume, callback=cb("polish"))
 
     record["total_wall_s"] = time.perf_counter() - t_start

@@ -126,9 +126,12 @@ def test_kernel_supported_shapes():
     assert slabk.kernel_supported(g64)
     g100 = Geometry(n_proj=2, vox_shape=(128,) * 3, det_shape=(100, 100))
     assert slabk.kernel_supported(g100)
-    # non-64-multiple x-y footprint: matmul pass A needs nx % XCH_A == 0
+    # pass A chunks x by the largest of (64, 32, 16) dividing nx: 96^3
+    # is eligible (32-chunks); a prime-ish footprint is not
     g96 = Geometry(n_proj=2, vox_shape=(96,) * 3, det_shape=(96, 96))
-    assert not slabk.kernel_supported(g96) or 96 % slabk.XCH_A == 0
+    assert slabk.kernel_supported(g96) and slabk._xch(96) == 32
+    g72 = Geometry(n_proj=2, vox_shape=(72,) * 3, det_shape=(72, 72))
+    assert not slabk.kernel_supported(g72)
     # fine step_size needs >2 arc branches -> XLA path (advisor finding)
     gs = Geometry(n_proj=2, vox_shape=(64,) * 3, det_shape=(64, 64),
                   step_size=0.5)

@@ -232,9 +232,11 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         if callback is not None:
             callback(it, views, volume, history)
 
-    return AlignState(views=views, volume=volume,
-                      residuals=ref.cost if outer_iters > start_iter
-                      else jnp.zeros((geom.n_proj,), dtype),
+    # a fully-checkpointed run (start_iter >= outer_iters) never enters
+    # the loop, so `ref` does not exist
+    residuals = (ref.cost if start_iter < outer_iters
+                 else jnp.zeros((geom.n_proj,), dtype))
+    return AlignState(views=views, volume=volume, residuals=residuals,
                       history=history)
 
 

@@ -19,18 +19,24 @@ unit y — mass-matched to the arc family at any step_size).
 
 TPU mapping (constraints probed on v5e Mosaic):
 
-- pass A (z-interp, slope ≈ +1): z-taps track the detector-v lane index
-  along a diagonal, so each band is a *static* lane slice of the slab
-  row-group (static unaligned lane offsets are legal; dynamic ones are
-  not). Only ~AWIN of the static band range are active per (group, slab),
-  selected by scalar ``pl.when`` gates at SBA-band granularity (per-band
-  gates made the scalar core the per-slab bottleneck).
-- pass B (x-interp, |slope| up to ~1.8): banded one-hot selection matmul
+- pass A (z-interp, slope ≈ +1): the z-taps track the detector-v lane
+  index along a diagonal whose intercept ``zoff`` is dynamic (per view and
+  slab) — and dynamic-start lane slices are illegal in Mosaic. One
+  *align* selection matmul per (slab, x-chunk, side) gathers the volume
+  rows into diagonal-aligned coordinates ``aligned[x, q] =
+  rows[x, zoff + q]`` (N = nv + NVA_PAD one-hot columns); the MBA
+  interpolation bands are then *static* lane slices ``aligned[:, m:m+nv]``
+  hat-weighted on the VPU. The align matmul is branch- and
+  weight-variant-shared (round-2 design re-did an N = MBA·nv gather per
+  branch — 9.3× the MXU flops of this formulation in arc mode).
+- pass B (x-interp, |slope| up to ~1.7): banded one-hot selection matmul
   on the MXU, built once per view (forward) / per step (adjoint). Window
   anchors are 8-aligned by construction (dynamic sublane slices must be)
   and the 0..7 anchor residual is folded into 7 extra selection bands
   (NBBW = NBB + 7) so the selection is indexed statically — a
-  traced-index read would copy the 0.5-1MB matrix per use.
+  traced-index read would copy the selection matrix per use. UCH = 64 /
+  WINB = 128 halve the selection flops vs round 2 (K = 128 is the MXU
+  contraction floor, so a smaller window costs nothing extra).
 - selection is exact in bf16 (0/1); f32 operands are split hi/lo into two
   bf16 MXU passes (~4e-6 faithful).
 - per-element hat weights, the fy slab-pair blend, and march-range masks
@@ -39,6 +45,11 @@ TPU mapping (constraints probed on v5e Mosaic):
 The adjoint kernel transposes the dataflow: slab-major grid so each output
 slab block stays VMEM-resident while every view accumulates into it
 (volume written to HBM exactly once per apply, regardless of view count).
+Its pass-A transpose accumulates the banded cotangents into the aligned
+frame (static lane shifts) and scatters with ONE matmul against the same
+one-hot — replacing both round-2 variants (the banded VPU loop that made
+the adjoint 1.6× slower than the forward, and the N = MBA·nv matmul that
+crashed the Mosaic compiler at 256³).
 """
 
 from __future__ import annotations
@@ -58,34 +69,28 @@ PADZ = 64          # z pads (lanes) each side of the slab
 #                    (also keeps NZP = nz + 2*PADZ a 128-
 #                    multiple for power-of-two nz: Mosaic
 #                    rejects matmul outputs on odd lane tiles)
-XP = 256           # x pad below T's interior: the pass-B window anchor
+XP = 128           # x pad below T's interior: the pass-B window anchor
 #                    tracks cx_r (the selection identity forces
 #                    m = floor(X) - k0(du) - (wtp - XP) ~ cx_r - anchor),
 #                    and chunks with in-volume samples have
-#                    xc >= -(|eux|*UCH + slack) > -XP; beyond that the
+#                    xc >= -(|eux|*(UCH-1) + slack) > -XP; beyond that the
 #                    chunk is empty and skipped
-XPH = 256          # x pad above (windows anchor at their bottom and
+XPH = 128          # x pad above (windows anchor at their bottom and
 #                    extend WINB rows; taps occupy only the low
 #                    ~|eux|*UCH+NBB of that, the rest reads zero pad)
-UCH = 128          # u-chunk (pass-B matmul LHS granularity)
+UCH = 64           # u-chunk (pass-B matmul LHS granularity)
 VCH = 128          # v-chunk (pass-B weight-tile lanes)
 NBB = 8            # pass-B logical bands (interval width)
 NBBW = NBB + 7     # stored bands: the 8-aligned anchor residual is
 #                    folded into 7 extra bands so the selection matrix
 #                    is indexed statically (a traced-index read of the
-#                    512KB selection per use cost ~100us/slab)
-SBA = 5            # pass-A super-band gate granularity (scalar-core
-#                    branches were the other per-slab fixed cost)
-PASS_A_MATMUL = True   # pass A as a selection matmul (no unaligned lane
-#                    reads, no gates): +17%/+57% fwd at 128^3/256^3
-PASS_A_MATMUL_ADJ = False  # the adjoint-side variant crashes the Mosaic
-#                    compiler at 256^3 (HTTP 500; fine at 128^3) — keep
-#                    the validated banded transpose until root-caused
-XCH_A = 64         # pass-A matmul x-chunk rows
-MBA = 7            # pass-A selection bands (taps 2 + frac + chunk gzx
+#                    selection per use cost ~100us/slab)
+XCH_A = 64         # pass-A align-matmul x-chunk rows
+MBA = 7            # pass-A interpolation bands (taps 2 + frac + chunk gzx
 #                    drift + both branches' edz dev + zav drift)
-WINB = 256         # pass-B T-row window (holds 8 + |eux|*(UCH-1) + NBB)
-AWIN = 7           # pass-A active bands per group
+NVA_PAD = 128      # aligned-frame extra lanes beyond nv (>= MBA - 1,
+#                    rounded to the 128-lane tile)
+WINB = 128         # pass-B T-row window (holds 8 + |eux|*(UCH-1) + NBBW)
 NS = 21            # scalar count
 
 (S_EDY, S_EDX, S_EDZ, S_RX, S_RZ, S_EUX, S_EVX, S_EVZ, S_CXB, S_CZB,
@@ -119,18 +124,16 @@ def _mhat(d):
     return -d * _hat(d)
 
 
-def _build_selz(zoff_pad, nzp, nv):
-    """(NZP, MBA*nv) one-hot: tap z == v + zoff_pad + m (padded coords);
-    the z<->v diagonal selection for the matmul pass A."""
-    z = lax.broadcasted_iota(jnp.int32, (nzp, MBA * nv), 0)
-    col = lax.broadcasted_iota(jnp.int32, (nzp, MBA * nv), 1)
-    v = col % nv
-    m = col // nv
-    return (z == v + m + zoff_pad).astype(jnp.bfloat16)
+def _build_selza(zoff, nzp, nva):
+    """(NZP, NVA) one-hot align gather: ``aligned[x, q] = rows[x, zoff+q]``
+    (no hit → 0, so q columns beyond the volume are harmlessly zero)."""
+    z = lax.broadcasted_iota(jnp.int32, (nzp, nva), 0)
+    q = lax.broadcasted_iota(jnp.int32, (nzp, nva), 1)
+    return (z == q + zoff).astype(jnp.bfloat16)
 
 
 def _xch(nx):
-    """Pass-A matmul x-chunk: largest of (64, 32, 16) dividing nx."""
+    """Pass-A align-matmul x-chunk: largest of (64, 32, 16) dividing nx."""
     for c in (XCH_A, 32, 16):
         if nx % c == 0:
             return c
@@ -139,9 +142,8 @@ def _xch(nx):
 
 def _pass_a_zeta_chunk(p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc,
                        xch=XCH_A):
-    """zeta + (cf+b) tiles (xch, nv) for the matmul pass A (unpadded
-    z coords); cfb is the grid sawtooth weight the 'zc' Jacobian
-    variant needs."""
+    """zeta + (cf+b) tiles (xch, nv) for pass A (unpadded z coords); cfb
+    is the grid sawtooth weight the 'zc' Jacobian variant needs."""
     f32 = jnp.float32
     x_t = float(xc0) + lax.broadcasted_iota(
         jnp.int32, (xch, nv), 0).astype(f32)
@@ -191,25 +193,6 @@ class _Scalars:
             [sc_ref[0, 0, i] for i in range(NS)]
 
 
-def _pass_a_tiles(p, g8, r, b, cx_r, cz_r, wa0r, nv, arc):
-    """zeta tile (8, nv) + scalar active-band window for x-group g8."""
-    f32 = jnp.float32
-    x_t = g8.astype(f32) + lax.broadcasted_iota(jnp.int32, (8, nv), 0).astype(f32)
-    v_t = lax.broadcasted_iota(jnp.int32, (8, nv), 1).astype(f32)
-    zaff = cz_r + p.gzx * (x_t - cx_r - v_t * p.evx) + v_t * p.evz
-    if arc:
-        w_xv = wa0r + p.wax * x_t + p.wav * v_t
-        cf = jnp.ceil(w_xv) - w_xv
-        zeta = zaff + p.edz * (cf + float(b))
-    else:
-        zeta = zaff
-    vm = nv / 2.0
-    mc = (cz_r + p.gzx * (g8.astype(f32) + 3.5 - cx_r - vm * p.evx)
-          + vm * p.evz - vm + (p.edz if arc else 0.0))
-    mlo = jnp.floor(mc).astype(jnp.int32) - (AWIN - 2) // 2
-    return zeta, v_t, mlo
-
-
 def _pass_b_tiles(p, u0, v0, r, b, cx_r, n_steps, arc):
     """Per-sample (UCH, VCH) tiles: X, fy, ok, march index j for pass B."""
     f32 = jnp.float32
@@ -232,8 +215,8 @@ def _pass_b_tiles(p, u0, v0, r, b, cx_r, n_steps, arc):
 
 
 def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
-    """8-aligned pass-B window start (T-row coords), residual r8, and the
-    chunk-relevance predicate.
+    """8-aligned pass-B window start (T-row coords), residual folded into
+    bands, and the chunk-relevance predicate.
 
     Interval analysis: with d = X - xc - du*eux in (-D, D),
     D = |evx|*VCH/2 + |edx|/2, the needed bands are
@@ -256,7 +239,7 @@ def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
 
 
 def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
-                pacc_ref, *, nx, ny, nz, nu, nv, K, n_steps, arc, mrange,
+                al_ref, *, nx, ny, nz, nu, nv, K, n_steps, arc,
                 deriv=None, jweight=False, rweight=False):
     """Forward: grid (V, C); out block (1, nu, nv) revisited across C.
 
@@ -282,6 +265,9 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
     p = _Scalars(sc_ref)
     n_branch = 2 if arc else 1
     n_sides = 2 if arc else 1
+    nzp = nz + 2 * PADZ
+    nva = nv + NVA_PAD
+    xch = _xch(nx)
 
     for k in range(K):
         r_i = c * K + k - 1
@@ -294,71 +280,43 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
             cz_r = p.czb + p.rz * r
             wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
 
-            for b in range(n_branch):
-                if PASS_A_MATMUL:
-                    # ---- pass A via selection matmul: no unaligned
-                    # reads, no gates (T has 2 slots so 512^3 fits VMEM;
-                    # the matmuls are recomputed per branch) ----
-                    nzp = nz + 2 * PADZ
-                    xch = _xch(nx)
-                    for xc0 in range(0, nx, xch):
-                        zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv,
-                                            nzp, arc, xch)
-                        selz = _build_selz(zoff, nzp, nv)
-                        dims = (((1,), (0,)), ((), ()))
-                        zeta, v_t, cfb_a = _pass_a_zeta_chunk(
-                            p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc, xch)
-                        tapb = (zoff - PADZ).astype(f32) + v_t
-                        for s in range(n_sides):
-                            rows = vol_ref[0, k + s, xc0:xc0 + xch, :]
-                            rhi, rlo = _split16(rows)
-                            mm = (lax.dot_general(
-                                      rhi, selz, dims,
-                                      preferred_element_type=f32)
-                                  + lax.dot_general(
-                                      rlo, selz, dims,
-                                      preferred_element_type=f32))
-                            acc = jnp.zeros((xch, nv), f32)
-                            for m in range(MBA):
-                                acc += hat_a(zeta - (tapb + float(m))) \
-                                    * mm[:, m * nv:(m + 1) * nv]
-                            if deriv == "zc":
-                                acc = acc * cfb_a
-                            hi, lo = _split16(acc)
-                            thi_ref[s, XP + xc0:XP + xc0 + xch,
-                                    :] = hi
-                            tlo_ref[s, XP + xc0:XP + xc0 + xch,
-                                    :] = lo
-                else:
-                    # ---------- pass A: T[side, x, v] ----------
-                    def pass_a(g, _, b=b):
-                        g8 = pl.multiple_of(g * 8, 8)
-                        zeta, v_t, mlo = _pass_a_tiles(
-                            p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
-                        pacc_ref[...] = jnp.zeros(pacc_ref.shape, f32)
-                        # super-band gating: one scalar branch per SBA
-                        # bands; inactive bands inside an active
-                        # super-band get zero hat weights
-                        for sb in range(mrange[0], mrange[-1] + 1, SBA):
-                            @pl.when((sb <= mlo + AWIN - 1)
-                                     & (sb + SBA > mlo))
-                            def _(sb=sb):
-                                for m in range(sb, min(sb + SBA,
-                                                       mrange[-1] + 1)):
-                                    w = hat_a(zeta - (float(m) + v_t))
-                                    for s in range(n_sides):
-                                        rows = vol_ref[0, k + s,
-                                                       pl.ds(g8, 8),
-                                                       PADZ + m:
-                                                       PADZ + m + nv]
-                                        pacc_ref[s] += w * rows
-                        for s in range(n_sides):
-                            hi, lo = _split16(pacc_ref[s])
-                            thi_ref[s, pl.ds(XP + g8, 8), :] = hi
-                            tlo_ref[s, pl.ds(XP + g8, 8), :] = lo
-                        return 0
+            # ---- pass-A align gather (branch-shared): one selection
+            # matmul per (x-chunk, side) puts the diagonal's taps at
+            # static lane offsets: al[s, x, q] = rows_s[x, zoff + q] ----
+            for xc0 in range(0, nx, xch):
+                zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp,
+                                    arc, xch)
+                selza = _build_selza(zoff, nzp, nva)
+                dims = (((1,), (0,)), ((), ()))
+                for s in range(n_sides):
+                    rows = vol_ref[0, k + s, xc0:xc0 + xch, :]
+                    rhi, rlo = _split16(rows)
+                    al_ref[s, xc0:xc0 + xch, :] = (
+                        lax.dot_general(rhi, selza, dims,
+                                        preferred_element_type=f32)
+                        + lax.dot_general(rlo, selza, dims,
+                                          preferred_element_type=f32))
 
-                    lax.fori_loop(0, nx // 8, pass_a, 0)
+            for b in range(n_branch):
+                # ---- pass-A band combine (VPU): static lane slices of
+                # the aligned frame, hat-weighted per branch ----
+                for xc0 in range(0, nx, xch):
+                    zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp,
+                                        arc, xch)
+                    zeta, v_t, cfb_a = _pass_a_zeta_chunk(
+                        p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc, xch)
+                    tapb = (zoff - PADZ).astype(f32) + v_t
+                    for s in range(n_sides):
+                        al = al_ref[s, xc0:xc0 + xch, :]
+                        acc = jnp.zeros((xch, nv), f32)
+                        for m in range(MBA):
+                            acc += hat_a(zeta - (tapb + float(m))) \
+                                * al[:, m:m + nv]
+                        if deriv == "zc":
+                            acc = acc * cfb_a
+                        hi, lo = _split16(acc)
+                        thi_ref[s, XP + xc0:XP + xc0 + xch, :] = hi
+                        tlo_ref[s, XP + xc0:XP + xc0 + xch, :] = lo
 
                 # ---------- pass B + blend + accumulate ----------
                 for uc in range(nu // UCH):
@@ -410,13 +368,19 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                                 acc * wfin
 
 
-def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
-                nx, ny, nz, nu, nv, K, n_steps, arc, mrange):
+def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
+                nx, ny, nz, nu, nv, K, n_steps, arc):
     """Adjoint: grid (C, V); out block (1, K, nx, NZP) revisited across V.
 
     Target slab t receives side-0 of source r = t and (arc) side-1 of
     source r = t - 1. Boundary sources are recomputed by the neighboring
-    chunk so output blocks never overlap."""
+    chunk so output blocks never overlap.
+
+    Pass-A transpose: the banded cotangents accumulate into the aligned
+    frame (static lane shifts, summed over branches — zoff is
+    branch-shared), then ONE scatter matmul against the align one-hot
+    maps them back to volume z (exact transpose of the forward's align
+    gather)."""
     v_id = pl.program_id(1)
     c = pl.program_id(0)
     f32 = jnp.float32
@@ -431,6 +395,9 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
     p = _Scalars(sc_ref)
     n_branch = 2 if arc else 1
     n_sides = 2 if arc else 1
+    nzp = nz + 2 * PADZ
+    nva = nv + NVA_PAD
+    xch = _xch(nx)
 
     for k in range(K):
         t_i = c * K + k
@@ -445,6 +412,7 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                 cx_r = p.cxb + p.rx * r
                 cz_r = p.czb + p.rz * r
                 wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
+                aac_ref[...] = jnp.zeros(aac_ref.shape, f32)
 
                 for b in range(n_branch):
                     # ---- pass-B transpose: ctg → T-bar ----
@@ -483,63 +451,48 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, *,
                                 tbar_ref[pl.ds(w8, WINB),
                                          vc * VCH:(vc + 1) * VCH] += tbar
 
-                    # ---- pass-A transpose: T-bar → slab ----
-                    if PASS_A_MATMUL_ADJ:
-                        nzp = nz + 2 * PADZ
-                        xch = _xch(nx)
-                        for xc0 in range(0, nx, xch):
-                            zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r,
-                                                nv, nzp, arc, xch)
-                            selz = _build_selz(zoff, nzp, nv)
-                            zeta, v_t, _cfb = _pass_a_zeta_chunk(
-                                p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc,
-                                xch)
-                            tapb = (zoff - PADZ).astype(f32) + v_t
-                            tb = tbar_ref[XP + xc0:XP + xc0 + xch, :]
-                            wt = jnp.concatenate(
-                                [_hat(zeta - (tapb + float(m))) * tb
-                                 for m in range(MBA)], axis=1)
-                            whi, wlo = _split16(wt)
-                            sbar = (
-                                lax.dot_general(
-                                    whi, selz, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32)
-                                + lax.dot_general(
-                                    wlo, selz, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=f32))
-                            out_ref[0, k, xc0:xc0 + xch, :] += sbar
-                    else:
-                        def pass_at(g, _, b=b):
-                            g8 = pl.multiple_of(g * 8, 8)
-                            zeta, v_t, mlo = _pass_a_tiles(
-                                p, g8, r, b, cx_r, cz_r, wa0r, nv, arc)
-                            tb = tbar_ref[pl.ds(XP + g8, 8), :]
-                            for sb in range(mrange[0], mrange[-1] + 1,
-                                            SBA):
-                                @pl.when((sb <= mlo + AWIN - 1)
-                                         & (sb + SBA > mlo))
-                                def _(sb=sb):
-                                    for m in range(sb,
-                                                   min(sb + SBA,
-                                                       mrange[-1] + 1)):
-                                        w = _hat(zeta
-                                                 - (float(m) + v_t))
-                                        out_ref[0, k, pl.ds(g8, 8),
-                                                PADZ + m:
-                                                PADZ + m + nv] += w * tb
-                            return 0
+                    # ---- pass-A transpose, band side: T-bar → aligned
+                    # frame (static lane shifts; accumulates branches) ----
+                    for xc0 in range(0, nx, xch):
+                        zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv,
+                                            nzp, arc, xch)
+                        zeta, v_t, _cfb = _pass_a_zeta_chunk(
+                            p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc,
+                            xch)
+                        tapb = (zoff - PADZ).astype(f32) + v_t
+                        tb = tbar_ref[XP + xc0:XP + xc0 + xch, :]
+                        acc = jnp.zeros((xch, nva), f32)
+                        for m in range(MBA):
+                            wm = _hat(zeta - (tapb + float(m))) * tb
+                            acc += jnp.pad(
+                                wm, ((0, 0), (m, nva - nv - m)))
+                        aac_ref[xc0:xc0 + xch, :] += acc
 
-                        lax.fori_loop(0, nx // 8, pass_at, 0)
+                # ---- pass-A transpose, scatter matmul (branch-shared):
+                # aligned-frame cotangents → volume z ----
+                for xc0 in range(0, nx, xch):
+                    zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv,
+                                        nzp, arc, xch)
+                    selza = _build_selza(zoff, nzp, nva)
+                    a = aac_ref[xc0:xc0 + xch, :]
+                    ahi, alo = _split16(a)
+                    dims = (((1,), (1,)), ((), ()))
+                    sbar = (lax.dot_general(ahi, selza, dims,
+                                            preferred_element_type=f32)
+                            + lax.dot_general(alo, selza, dims,
+                                              preferred_element_type=f32))
+                    out_ref[0, k, xc0:xc0 + xch, :] += sbar
 
 
 def _pad_dims(nu, nv, nz):
-    """Kernel-facing padded extents: detector u to UCH and v to VCH lanes,
-    volume z to 128 lanes (keeps NZP = nzk + 2*PADZ a 128-multiple — Mosaic
-    rejects matmul outputs on odd lane tiles).  The affine sample map is
-    detector-index based, so rays ``u < nu, v < nv`` are bit-identical to
-    the unpadded geometry: extra detector rows/cols are real rays cropped
-    after the call, extra z is zero volume pad contributing nothing.  This
-    is what lets the reference's arbitrary-size configs (64^3/90 views,
+    """Kernel-facing padded extents: detector u to UCH sublanes, v to VCH
+    lanes, volume z to 128 lanes (keeps NZP = nzk + 2*PADZ a 128-multiple —
+    Mosaic rejects matmul outputs on odd lane tiles).  The affine sample
+    map is detector-index based, so rays ``u < nu, v < nv`` are
+    bit-identical to the unpadded geometry: extra detector rows/cols are
+    real rays cropped after the call, extra z is zero volume pad
+    contributing nothing.  This is what lets the reference's
+    arbitrary-size configs (64^3/90 views,
     ``/root/reference/examples/generate_data.py:16``; free dims in
     ``ray_wt_grad.f90:1-92``) run on the production kernel."""
     nup = -(-nu // UCH) * UCH
@@ -548,18 +501,26 @@ def _pad_dims(nu, nv, nz):
     return nup, nvp, nzk
 
 
+def _slab_K(nx, ny):
+    """Slabs per grid step: bounded by VMEM ((K+1, nx, NZP) f32 double-
+    buffered + T/selection/aligned scratch within the 100MB scoped
+    limit), and by ny (no point exceeding the slab count).
+    TOMOJAX_SLAB_K overrides for bench sweeps."""
+    env = os.environ.get("TOMOJAX_SLAB_K")
+    if env:
+        return max(1, min(int(env), ny + 1))
+    K = 16 if nx <= 128 else (8 if nx <= 256 else 3)
+    return min(K, ny + 1)
+
+
 def _statics(geom, quad):
     nx, ny, nz = geom.vox_shape
     nu, nv = geom.det_shape
     nup, nvp, nzk = _pad_dims(nu, nv, nz)
-    # slabs per grid step: bounded by VMEM ((K+1, nx, NZP) f32 double-
-    # buffered + T/selection scratch must stay within ~16MB)
-    K = 8 if nx <= 128 else (6 if nx <= 256 else 1)
+    K = _slab_K(nx, ny)
     C = -(-(ny + 1) // K)
-    mrange = list(range(-PADZ, nzk - nvp + PADZ + 1))
     return dict(nx=nx, ny=ny, nz=nzk, nu=nup, nv=nvp, K=K,
-                n_steps=geom.n_steps, arc=(quad == "arc"),
-                mrange=mrange), C
+                n_steps=geom.n_steps, arc=(quad == "arc")), C
 
 
 def kernel_supported(geom, quad: str = "arc") -> bool:
@@ -588,9 +549,10 @@ def kernel_bounds_ok(scalars_np, nv: int = 256) -> bool:
 
     ``nv`` is the detector-v extent: the z-per-v slope deviation ``zav``
     accumulates over the half-detector from the window's center anchor.
-    Both pass-A variants are checked — the banded one (adjoint; 8-row
-    x-groups, so drift ``4.5*gzx``) and the selection-matmul one (forward;
-    XCH_A-row chunks, drift ``(XCH_A/2 + 0.5)*gzx``)."""
+    The pass-A drift budget is the align-matmul one ((XCH_A/2)·gzx over
+    an x-chunk); the pass-B window bound caps eux at
+    (WINB - NBB - 15)/(UCH - 1) ≈ 1.67 (real geometries top out near
+    1/cos(45°) ≈ 1.42 plus jitter)."""
     s = np.asarray(scalars_np, np.float64)
     nvh = _pad_dims(8, nv, 128)[1] / 2.0
     evx, edx = np.abs(s[:, S_EVX]), np.abs(s[:, S_EDX])
@@ -598,11 +560,8 @@ def kernel_bounds_ok(scalars_np, nv: int = 256) -> bool:
     gzx, edz = np.abs(s[:, S_GZX]), np.abs(s[:, S_EDZ])
     zav = np.abs(s[:, S_ZAV] - 1.0)
     pass_b = (evx * (VCH / 2) + 0.5 * edx <= (NBB - 4) / 2 - 0.05)
-    pass_a = (4.5 * gzx + edz + zav * nvh <= (AWIN - 3) / 2 - 0.1)
-    pass_a_mm = ((XCH_A / 2 + 0.5) * gzx + edz + zav * nvh
-                 <= (MBA - 3) / 2 - 0.1)
-    if PASS_A_MATMUL or PASS_A_MATMUL_ADJ:
-        pass_a = pass_a & pass_a_mm
+    pass_a = ((XCH_A / 2 + 0.5) * gzx + edz + zav * nvh
+              <= (MBA - 3) / 2 - 0.1)
     win = (8 + eux * (UCH - 1) + NBB + 7 <= WINB)
     return bool(np.all(pass_b & pass_a & win))
 
@@ -635,8 +594,6 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
     :returns: (V, nu, nv) f32 sinograms (u-major within a view)."""
     if deriv is not None or jweight or rweight:
         assert quad == "arc", "Jacobian variants are arc-mode only"
-        assert PASS_A_MATMUL or deriv in (None, "x", "y"), \
-            "z-derivative variants need the matmul pass A"
     if os.environ.get("TOMOJAX_SLAB_KERNEL") == "interpret":
         interpret = True      # CPU-mesh tests of kernel-routed operators
     statics, C = _statics(geom, quad)
@@ -674,7 +631,7 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
             pltpu.VMEM((NBBW * UCH, WINB), jnp.bfloat16),
             pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
             pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
-            pltpu.VMEM((2, 8, nv), jnp.float32),
+            pltpu.VMEM((2, nx, nv + NVA_PAD), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -723,6 +680,7 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
         scratch_shapes=[
             pltpu.VMEM((NBBW * UCH, WINB), jnp.bfloat16),
             pltpu.VMEM((NXPS, nv), jnp.float32),
+            pltpu.VMEM((nx, nv + NVA_PAD), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
