@@ -141,6 +141,10 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
+    # bank every XLA/Mosaic compile: the flaky TPU worker is kill-and-
+    # retried by scripts/run_retry.sh, and restarts must not recompile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     import jax.numpy as jnp
     from tomojax.core.geometry import Geometry, Views
     from tomojax.core import phantom, projector
@@ -246,7 +250,7 @@ def main():
             refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
             refine_method=refine_bulk, family=fam_bulk,
-            callback=cb("fast"))
+            progress=True, callback=cb("fast"))
         views0 = state.views
     if args.outers_exact > 0:
         # polish: exact-consistent recon + Levenberg-Marquardt on exact
@@ -258,7 +262,7 @@ def main():
             recon_chunk=args.recon_chunk,
             refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method=refine_polish, family=fam_polish,
+            refine_method=refine_polish, family=fam_polish, progress=True,
             checkpoint_dir=stage_ckpt("exact"),
             volume0=None if state is None else state.volume,
             callback=cb("exact"))
@@ -270,7 +274,7 @@ def main():
             refine_chunk=args.refine_chunk,
             param_set=args.param_set,
             refine_iters=args.refine_iters_polish,
-            refine_method=refine_polish, family=fam_polish,
+            refine_method=refine_polish, family=fam_polish, progress=True,
             checkpoint_dir=stage_ckpt("polish"),
             volume0=state.volume, callback=cb("polish"))
 

@@ -329,6 +329,41 @@ def test_refine_views_slab_recovers_shifts():
     assert err < 0.15 * err0, (err, err0)
 
 
+def test_refine_views_slab_frozen_groups_match():
+    """refine_views_slab with a FROZEN group structure (as the
+    alternating pipeline passes after its first outer iteration) must
+    match the self-grouped call bit-for-bit: freezing only pins
+    membership/batch shapes, never the math. Also covers the case where
+    the frozen flags come from *different* θ than the refinement input
+    (the pipeline freezes at outer 0; later outers refine drifted θ)."""
+    from tomojax.core import slab_projector as slabp
+    from tomojax.align.slab_refine import refine_views_slab
+    n, n_proj = 16, 8
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    rng = np.random.default_rng(17)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-1.0, 1.0, n_proj)
+    t[:, 2] = rng.uniform(-1.0, 1.0, n_proj)
+    phi = 0.2 + np.linspace(0, np.pi, n_proj, endpoint=False)
+    true_views = Views.create(n_proj, phi=phi, t=t)
+    meas = slabp.project(vol, geom, true_views, quad="arc")
+
+    t0 = t.copy()
+    t0[:, [0, 2]] += rng.uniform(-0.3, 0.3, (n_proj, 2))
+    init = Views.create(n_proj, phi=phi, t=t0)
+    # freeze groups at a *different* θ (zero translations), as outer 0
+    # does; membership depends only on phi here, so batches match
+    frozen0 = Views.create(n_proj, phi=phi)
+    gs, _ = slabp.scalar_groups(geom, frozen0, "arc")
+    a = refine_views_slab(vol, meas, geom, init, param_set="xz",
+                          max_iter=8)
+    b = refine_views_slab(vol, meas, geom, init, param_set="xz",
+                          max_iter=8, groups=gs)
+    np.testing.assert_array_equal(np.asarray(a.theta6),
+                                  np.asarray(b.theta6))
+
+
 def test_refine_views_slab_angles():
     """Slab LM recovers small tilt jitter (alpha, beta) too."""
     from tomojax.core import slab_projector as slabp

@@ -298,3 +298,37 @@ def test_slab_scalars_jnp_matches_np():
             th, jnp.asarray(sub.cor, F64))
         np.testing.assert_allclose(np.asarray(sc_j), sc_np, rtol=1e-9,
                                    atol=1e-9)
+
+
+def test_scalar_argument_path_matches_eager(vol32):
+    """project_scalars/backproject_scalars (the jitted-solver apply path
+    with scalars as program arguments) must equal the eager
+    project/backproject for every orientation group, including under a
+    jit that treats the scalars as traced inputs."""
+    n_proj = 7
+    geom = _geom(n_proj=n_proj)
+    rng = np.random.default_rng(3)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-1.5, 1.5, n_proj)
+    t[:, 2] = rng.uniform(-1.5, 1.5, n_proj)
+    views = Views.create(n_proj, phi=np.linspace(0, np.pi, n_proj),
+                         alpha=rng.uniform(-0.02, 0.02, n_proj),
+                         beta=rng.uniform(-0.02, 0.02, n_proj), t=t)
+    for quad in ("arc", "plane"):
+        ref = slab.project(vol32, geom, views, dtype=F64, quad=quad)
+        gstruct, scalars = slab.scalar_groups(geom, views, quad, dtype=F64)
+
+        fwd = jax.jit(lambda v, sc: slab.project_scalars(
+            v, geom, gstruct, sc, quad, dtype=F64))
+        got = fwd(vol32, scalars)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-12)
+
+        sino = jnp.asarray(
+            rng.standard_normal((n_proj, geom.n_det)), F64)
+        bref = slab.backproject(sino, geom, views, dtype=F64, quad=quad)
+        adj = jax.jit(lambda s, sc: slab.backproject_scalars(
+            s, geom, gstruct, sc, quad, dtype=F64))
+        bgot = adj(sino, scalars)
+        np.testing.assert_allclose(np.asarray(bgot), np.asarray(bref),
+                                   rtol=0, atol=1e-12)

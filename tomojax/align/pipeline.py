@@ -22,7 +22,9 @@ Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
+import time
 from typing import NamedTuple
 
 import numpy as np
@@ -30,9 +32,42 @@ import jax
 import jax.numpy as jnp
 
 from tomojax.core.geometry import Geometry, Views
-from tomojax.core.operators import make_operator
+from tomojax.core.operators import make_operator, TomoOperator
 from tomojax.recon import sirt as _sirt, cgls as _cgls
 from tomojax.align.refine import PARAM_SETS, refine_views
+
+
+@functools.lru_cache(maxsize=16)
+def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
+                     positivity: bool, gstruct, dtype_str: str):
+    """One jitted solver program per (geometry, octant-group structure).
+
+    The per-view slab scalars enter as *arguments*, so consecutive outer
+    iterations of the alternating driver (new θ, same shapes) reuse the
+    compiled program — the eager path would rebuild + retrace the whole
+    solver every outer (~minutes per call on a remote-TPU tunnel)."""
+    from tomojax.core import slab_projector as sp
+    dtype = jnp.dtype(dtype_str)
+
+    def run(x0, b, scalars):
+        def A(x):
+            return sp.project_scalars(x, geom, gstruct, scalars, quad,
+                                      dtype=dtype)
+
+        def AT(y):
+            return sp.backproject_scalars(y, geom, gstruct, scalars, quad,
+                                          dtype=dtype)
+
+        op = TomoOperator(geom=geom, views=None, A=A, AT=AT,
+                          family="slab" if quad == "arc" else "slab_plane",
+                          dtype=dtype)
+        if recon == "sirt":
+            r = _sirt(op, b, niter=nit, positivity=positivity, x0=x0)
+        else:
+            r = _cgls(op, b, niter=nit, x0=x0)
+        return r.x, r.rms_error, r.n_iter
+
+    return jax.jit(run)
 
 
 class AlignState(NamedTuple):
@@ -62,6 +97,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       volume0=None,
                       checkpoint_dir: str | None = None,
                       resume: bool = True, verbose: bool = False,
+                      progress: bool = False,
                       callback=None) -> AlignState:
     """Run the alternating alignment+reconstruction loop.
 
@@ -126,41 +162,89 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
     # optimizes offset parameters starting at 0 within the box)
     theta_init = views0.theta6().astype(dtype)
 
+    # slab families + no ground-truth metric → the cached jitted solver
+    # program (scalars as arguments; see _slab_recon_prog)
+    scalar_prog = (family in ("slab", "slab_plane")
+                   and ground_truth is None and recon in ("sirt", "cgls"))
+    quad = "arc" if family == "slab" else "plane"
+    gstruct = None
+    refine_gs = None       # frozen octant groups for lm_slab (see below)
+    t_hb = time.perf_counter()
+
+    def hb(msg):
+        if progress or verbose:
+            print(f"[pipeline] {msg} (t={time.perf_counter() - t_hb:.0f}s)",
+                  flush=True)
+
     for it in range(start_iter, outer_iters):
-        op = make_operator(geom, views, family=family, dtype=dtype)
         # host-chunk the solver so no single device program exceeds the
         # runtime watchdog (the axon runtime kills very long programs;
         # 64^3+ exact-family SIRT/CGLS over many views trips it)
         chunk = recon_chunk or recon_iters
         done = 0
-        while done < recon_iters:
-            nit = min(chunk, recon_iters - done)
-            if recon == "sirt":
-                r = _sirt(op, projections, niter=nit,
-                          positivity=positivity, x0=volume,
-                          ground_truth=ground_truth)
-            elif recon == "cgls":
-                r = _cgls(op, projections, niter=nit, x0=volume,
-                          ground_truth=ground_truth)
+        if scalar_prog:
+            from tomojax.core import slab_projector as sp
+            # freeze group membership across outers (see group_scalars_for)
+            res = (sp.group_scalars_for(geom, views, gstruct, quad, dtype)
+                   if gstruct is not None else None)
+            if res is None:
+                gstruct, scalars = sp.scalar_groups(geom, views, quad,
+                                                    dtype)
             else:
-                raise ValueError(f"unknown recon {recon!r}")
-            volume = r.x
-            done += nit
-        rms = float(np.asarray(r.rms_error)[max(0, int(r.n_iter) - 1)])
+                gstruct, scalars = res
+            while done < recon_iters:
+                nit = min(chunk, recon_iters - done)
+                prog = _slab_recon_prog(geom, quad, recon, nit, positivity,
+                                        gstruct, jnp.dtype(dtype).name)
+                volume, rms_arr, n_it = prog(volume, projections, scalars)
+                done += nit
+                hb(f"outer {it}: recon {done}/{recon_iters}")
+            rms = float(np.asarray(rms_arr)[max(0, int(n_it) - 1)])
+        else:
+            op = make_operator(geom, views, family=family, dtype=dtype)
+            while done < recon_iters:
+                nit = min(chunk, recon_iters - done)
+                if recon == "sirt":
+                    r = _sirt(op, projections, niter=nit,
+                              positivity=positivity, x0=volume,
+                              ground_truth=ground_truth)
+                elif recon == "cgls":
+                    r = _cgls(op, projections, niter=nit, x0=volume,
+                              ground_truth=ground_truth)
+                else:
+                    raise ValueError(f"unknown recon {recon!r}")
+                volume = r.x
+                done += nit
+                hb(f"outer {it}: recon {done}/{recon_iters}")
+            rms = float(np.asarray(r.rms_error)[max(0, int(r.n_iter) - 1)])
         history["recon_rms"].append(rms)
 
         lo = theta_init + lo_off
         hi = theta_init + hi_off
         if refine_method == "lm_slab":
+            from tomojax.core import slab_projector as sp
             from tomojax.align.slab_refine import refine_views_slab
-            # view-chunking for watchdog bounds (views independent)
+            # view-chunking bounds device memory: the LM program holds
+            # ~20 detector-sized fields per view (12 Jacobian passes +
+            # the (V, 6, nu, nv) Jacobian + trials), so the bound scales
+            # with n_det — NOT n_vox (the volume is shared). 256³/90
+            # views is ~170 MB: unchunked, one frozen program.
             n = geom.n_proj
             vchunk = refine_chunk or max(
-                1, min(n, (1 << 24) // max(1, geom.n_vox)))
+                1, min(n, (1 << 28) // max(1, 20 * geom.n_det)))
             if vchunk >= n:
+                # freeze octant-group membership at the first outer: θ
+                # drift would re-shuffle groups → new batch shapes → a
+                # fresh Mosaic compile mid-run (minutes each through the
+                # tunnel, and where the flaky worker crashes)
+                if refine_gs is None:
+                    refine_gs, _ = sp.scalar_groups(geom, views, "arc",
+                                                    dtype)
                 ref = refine_views_slab(volume, projections, geom, views,
                                         mask=mask, lower=lo, upper=hi,
-                                        max_iter=refine_iters, dtype=dtype)
+                                        max_iter=refine_iters,
+                                        groups=refine_gs, dtype=dtype)
+                hb(f"outer {it}: refine {n}/{n}")
             else:
                 parts = []
                 for i0 in range(0, n, vchunk):
@@ -170,6 +254,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                         volume, projections[sl], geom, sub, mask=mask,
                         lower=lo[sl], upper=hi[sl],
                         max_iter=refine_iters, dtype=dtype))
+                    hb(f"outer {it}: refine {min(i0 + vchunk, n)}/{n}")
                 ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
             theta = ref.theta6
         elif refine_method == "gd_fast":
@@ -216,6 +301,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                         lower=lo[sl] if lo.ndim == 2 else lo,
                         upper=hi[sl] if hi.ndim == 2 else hi,
                         max_iter=refine_iters, dtype=dtype))
+                    hb(f"outer {it}: refine {min(i0 + vchunk, n)}/{n}")
                 ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
             theta = ref.theta6
         views = Views.from_theta6(theta, cor=views.cor)

@@ -109,18 +109,22 @@ def _group_value_jac(vol_or, theta, cor, geom: Geometry, flags,
 
 
 @functools.lru_cache(maxsize=64)
-def _step_fns(geom: Geometry, flags, use_kernel: bool, dtype):
-    """Jitted (cost, LM-step) pair for one (geometry, octant) combo.
+def _group_prog(geom: Geometry, flags, use_kernel: bool, steps: int,
+                dtype_str: str):
+    """One jitted LM program per (geometry, octant, #iterations) combo.
 
-    The LM loop is host-stepped — one device program per iteration — so
-    no single program outgrows the runtime watchdog, and the compiled
-    step is reused across view chunks / outer iterations (the kernel
-    wrappers bucket the batch size to multiples of 8 for the same
-    reason)."""
+    The whole box-LM loop runs as a single ``lax.fori_loop`` device
+    program (each eager dispatch on a remote-TPU tunnel costs ~1 s of
+    round-trip; host-stepping the loop dominated the wall clock). The
+    caller pads the view batch to a multiple of 8, so the program shape —
+    and the Mosaic kernel compile behind it — is stable across outer
+    iterations while group membership drifts."""
+    dtype = jnp.dtype(dtype_str)
+    sw, yf, uf = flags
 
     def sc_of(t6, c):
-        return sp.slab_scalars_jnp(geom, t6, c, flags[0], flags[1],
-                                   flags[2], "arc", dtype=dtype)
+        return sp.slab_scalars_jnp(geom, t6, c, sw, yf, uf, "arc",
+                                   dtype=dtype)
 
     def costs(vol_or, meas, cor, theta):
         scalars = jax.vmap(sc_of)(theta, cor)
@@ -149,73 +153,91 @@ def _step_fns(geom: Geometry, flags, use_kernel: bool, dtype):
         cost2 = jnp.where(improved, cost_new, cost)
         return theta2, lam2, cost2
 
-    return jax.jit(costs), jax.jit(step)
+    def run(vol, meas, cor, mask_f, lo, hi, theta0, lam0):
+        vol_or = sp.orient_volume(jnp.asarray(vol, dtype), geom, sw, yf)
+        if uf:   # group forward emits u-flipped rows; flip the data once
+            meas = meas[:, ::-1, :]
+        cost0 = costs(vol_or, meas, cor, theta0)
 
+        def body(_, c):
+            return step(vol_or, meas, cor, mask_f, lo, hi, *c)
 
-def _refine_group(vol_or, meas, theta0, cor, geom: Geometry, flags,
-                  mask, lo, hi, *, max_iter, lm_lambda0, use_kernel,
-                  dtype):
-    """Batched box-LM over one orientation group (all views together).
+        theta, lam, cost = lax.fori_loop(0, steps, body,
+                                         (theta0, lam0, cost0))
+        return theta, cost
 
-    Per-view damping λ with the standard accept/reject update; the trial
-    cost for every view is one batched forward call."""
-    V = theta0.shape[0]
-    mask_f = mask.astype(dtype)
-    cost_fn, step_fn = _step_fns(geom, flags, use_kernel, dtype)
-    cost = cost_fn(vol_or, meas, cor, theta0)
-    theta = theta0
-    lam = jnp.full((V,), lm_lambda0, dtype)
-    for _ in range(max_iter):
-        theta, lam, cost = step_fn(vol_or, meas, cor, mask_f, lo, hi,
-                                   theta, lam, cost)
-    return theta, cost
+    return jax.jit(run)
 
 
 def refine_views_slab(vol, projections, geom: Geometry, views: Views, *,
                       param_set: str = "xzab", mask=None, lower=None,
                       upper=None, max_iter: int = 12,
-                      lm_lambda0: float = 1e-3,
+                      lm_lambda0: float = 1e-3, groups=None,
                       dtype=jnp.float32) -> RefineResult:
     """Refine all views' masked 6-DoF on the slab family (batched LM).
 
     Views are host-grouped by orientation octant (flags must be static
-    for the fused kernel); each group runs one compiled batched LM.
-    Bounds are absolute 6-vector boxes like
-    :func:`tomojax.align.refine.refine_views`."""
+    for the fused kernel); each group runs the whole batched box-LM as
+    ONE compiled device program (per-view damping λ with accept/reject;
+    all trial costs for the batch are one batched forward). Bounds are
+    absolute 6-vector boxes like
+    :func:`tomojax.align.refine.refine_views`.
+
+    :param groups: optional FROZEN group structure — a tuple of
+        ``(view_indices, swap, yflip, uflip, use_kernel)`` as returned by
+        :func:`tomojax.core.slab_projector.scalar_groups`. The
+        alternating pipeline freezes this at its first outer iteration:
+        per-view θ drift would otherwise re-shuffle octant membership and
+        change group batch shapes, forcing a fresh Mosaic kernel compile
+        mid-run (minutes per compile through the remote-TPU tunnel, and
+        the compile path is where the flaky worker crashes). Frozen flags
+        stay valid under small θ updates (see
+        :func:`~tomojax.core.slab_projector.group_scalars_for`); kernel
+        band-budget excursions at LM trial points degrade gracefully
+        (clipped anchors), never fault."""
     if mask is None:
         mask = PARAM_SETS[param_set]
     views = jax.tree.map(np.asarray, views)
     n = views.n_proj
     nu, nv = geom.det_shape
-    meas_all = jnp.asarray(projections, dtype).reshape(n, nu, nv)
-    theta_all = jnp.asarray(views.theta6(), dtype)
-    cor_all = jnp.asarray(views.cor, dtype)
-    lo = (jnp.full((n, 6), -jnp.inf, dtype) if lower is None
-          else jnp.broadcast_to(jnp.asarray(lower, dtype), (n, 6)))
-    hi = (jnp.full((n, 6), jnp.inf, dtype) if upper is None
-          else jnp.broadcast_to(jnp.asarray(upper, dtype), (n, 6)))
+    meas_all = np.asarray(projections, np.float64).reshape(n, nu, nv)
+    theta_all = np.asarray(views.theta6(), np.float64)
+    cor_all = np.asarray(views.cor, np.float64)
+    lo = (np.full((n, 6), -np.inf) if lower is None
+          else np.broadcast_to(np.asarray(lower, np.float64), (n, 6)))
+    hi = (np.full((n, 6), np.inf) if upper is None
+          else np.broadcast_to(np.asarray(upper, np.float64), (n, 6)))
+    mask_f = jnp.asarray(np.asarray(mask), dtype)
 
     use_kernel = _use_kernel(geom, dtype)
-    theta_out = jnp.zeros((n, 6), dtype)
-    cost_out = jnp.zeros((n,), dtype)
-    for idx, sw, yf, uf in sp._orient_groups(views, geom):
-        ji = jnp.asarray(idx)
-        meas = meas_all[ji]
-        if uf:     # group forward emits u-flipped rows; flip the data once
-            meas = meas[:, ::-1, :]
-        uk = use_kernel
-        if uk:
-            from tomojax.kernels import slab as slabk
-            sub = jax.tree.map(lambda a: a[idx], views)
-            sc0 = sp.slab_scalars_np(geom, sub, sw, yf, uf, "arc")
-            uk = slabk.kernel_bounds_ok(sc0, nv=nv)
-        vol_or = sp.orient_volume(jnp.asarray(vol, dtype), geom, sw, yf)
-        theta, cost = _refine_group(
-            vol_or, meas, theta_all[ji], cor_all[ji], geom,
-            (sw, yf, uf), mask, lo[ji], hi[ji], max_iter=max_iter,
-            lm_lambda0=lm_lambda0, use_kernel=uk, dtype=dtype)
-        theta_out = theta_out.at[ji].set(theta)
-        cost_out = cost_out.at[ji].set(cost)
-    return RefineResult(theta6=theta_out, cost=cost_out,
+    if groups is None:
+        # same warn-only band-budget policy as slab_projector.scalar_groups
+        # (LM trial points transiently exceed the budget by design; the
+        # kernel degrades gracefully — clipped anchors — while the XLA
+        # fallback's long LM programs get killed by the axon runtime)
+        groups = [(idx, sw, yf, uf, use_kernel)
+                  for idx, sw, yf, uf in sp._orient_groups(views, geom)]
+    theta_out = np.zeros((n, 6))
+    cost_out = np.zeros((n,))
+    for idx, sw, yf, uf, uk in groups:
+        idx = np.asarray(idx)
+        V = len(idx)
+        V8 = -(-V // 8) * 8   # pad with copies of the first view: LM is
+        #                       per-view independent, results are dropped
+        idxp = np.concatenate([idx, np.repeat(idx[:1], V8 - V)])
+        uk = bool(uk and use_kernel)
+        prog = _group_prog(geom, (sw, yf, uf), bool(uk), int(max_iter),
+                           jnp.dtype(dtype).name)
+        theta, cost = prog(vol,
+                           jnp.asarray(meas_all[idxp], dtype),
+                           jnp.asarray(cor_all[idxp], dtype), mask_f,
+                           jnp.asarray(lo[idxp], dtype),
+                           jnp.asarray(hi[idxp], dtype),
+                           jnp.asarray(theta_all[idxp], dtype),
+                           jnp.full((V8,), lm_lambda0, dtype))
+        theta_out[idx] = np.asarray(theta)[:V]
+        cost_out[idx] = np.asarray(cost)[:V]
+    return RefineResult(theta6=jnp.asarray(theta_out, dtype),
+                        cost=jnp.asarray(cost_out, dtype),
                         n_iter=jnp.full((n,), max_iter, jnp.int32),
                         converged=jnp.ones((n,), bool))

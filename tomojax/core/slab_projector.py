@@ -41,6 +41,7 @@ The XLA implementation below is the portable/reference path (2-tap
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import NamedTuple
 
 import numpy as np
@@ -860,3 +861,153 @@ def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
         (vol_bar,) = vjp_fn(sino[jnp.asarray(idx)])
         acc = acc + vol_bar
     return acc
+
+
+# ----------------------------------------------------------------------
+# Scalar-argument apply path: static group structure + traced scalars
+# ----------------------------------------------------------------------
+#
+# The eager ``project``/``backproject`` above bake the per-view kernel
+# scalars into each call as constants, so a solver that closes over them
+# retraces/recompiles every outer iteration of the alternating pipeline
+# (minutes per outer on the remote-TPU tunnel). The functions below split
+# the operator into
+#
+#   scalar_groups(geom, views)  -> (static group structure, scalar arrays)
+#   project_scalars / backproject_scalars(vol/sino, ..., scalars)
+#
+# so a solver program can be jit-compiled ONCE per (geometry, group
+# structure) with the scalars as *arguments* — each outer iteration then
+# reuses the compiled program with new scalar values (the alternating
+# driver's per-outer θ updates never change shapes, and octant-group
+# membership changes only when a view crosses an orientation boundary).
+
+
+def scalar_groups(geom: Geometry, views: Views, quad: str = "arc",
+                  dtype=jnp.float32):
+    """Host-side split of concrete views into orientation groups.
+
+    Routing: the kernel is used whenever the *geometry* supports it
+    (:func:`~tomojax.kernels.slab.kernel_supported`). Unlike the eager
+    :func:`project`/:func:`backproject`, the per-view band budget
+    (:func:`~tomojax.kernels.slab.kernel_bounds_ok`) only WARNS here: a
+    single box-corner view would otherwise flip its whole group onto the
+    XLA fallback, whose minutes-long solver programs the axon runtime
+    kills (observed as "TPU worker crashed" in the c64 study). Beyond
+    budget every dynamic anchor in the kernel is clipped — ≤1% per-view
+    error at the refinement box corner (measured, 64³), no fault — and
+    alternating θ updates converge back into budget.
+
+    :returns: ``(gstruct, scalars)`` — ``gstruct`` is a hashable tuple of
+        per-group ``(view_indices, swap, yflip, uflip, use_kernel)`` and
+        ``scalars`` a matching tuple of ``(V_g, NS)`` scalar arrays
+        (suitable as jitted-program arguments)."""
+    views = jax.tree.map(np.asarray, views)
+    use_k = _use_slab_kernel(geom, dtype, quad)
+    nu, nv = geom.det_shape
+    from tomojax.kernels import slab as slabk
+    gstruct, scalars = [], []
+    for idx, sw, yf, uf in _orient_groups(views, geom):
+        sc = slab_scalars_np(geom, _take_views(views, idx), sw, yf, uf,
+                             quad)
+        if use_k and not slabk.kernel_bounds_ok(sc, nv=nv):
+            warnings.warn(
+                "slab kernel band budget exceeded for some views "
+                f"(group of {len(idx)}, quad={quad!r}); results for "
+                "those views degrade gracefully (clipped anchors)",
+                stacklevel=2)
+        gstruct.append((tuple(int(i) for i in idx), bool(sw), bool(yf),
+                        bool(uf), bool(use_k)))
+        scalars.append(jnp.asarray(sc, dtype))
+    return tuple(gstruct), tuple(scalars)
+
+
+def project_scalars(vol, geom: Geometry, gstruct, scalars,
+                    quad: str = "arc", dtype=jnp.float32,
+                    views_chunk: int | None = None):
+    """Multi-view slab forward with (possibly traced) scalar arguments.
+
+    Same math as :func:`project`; ``gstruct`` must come from
+    :func:`scalar_groups` (static), ``scalars`` may be traced values of
+    the same shapes."""
+    n = sum(len(g[0]) for g in gstruct)
+    vol = jnp.asarray(vol).astype(dtype).reshape(geom.vox_shape)
+    out = jnp.zeros((n, geom.n_det), dtype=dtype)
+    for (idx, sw, yf, uf, uk), sc in zip(gstruct, scalars):
+        vol_or = orient_volume(vol, geom, sw, yf)
+        if uk:
+            sino = _apply_kernel(vol_or, sc.astype(jnp.float32), geom,
+                                 quad).astype(dtype)
+        else:
+            def f(row):
+                return forward_from_scalars_xla(vol_or, row, geom, quad,
+                                                dtype=dtype)
+            m = len(idx)
+            chunk = views_chunk or max(
+                1, min(m, (1 << 26) // max(1, geom.n_vox)))
+            chunk = max(1, min(chunk, m))
+            while m % chunk:
+                chunk -= 1
+            if chunk >= m:
+                sino = jax.vmap(f)(sc)
+            else:
+                sino = lax.map(jax.vmap(f),
+                               sc.reshape(m // chunk, chunk, -1)
+                               ).reshape(m, *geom.det_shape)
+        if uf:
+            sino = sino[:, ::-1, :]
+        out = out.at[jnp.asarray(idx)].set(sino.reshape(len(idx), -1))
+    return out
+
+
+def backproject_scalars(sino, geom: Geometry, gstruct, scalars,
+                        quad: str = "arc", dtype=jnp.float32,
+                        views_chunk: int | None = None):
+    """Exact adjoint of :func:`project_scalars` (vjp w.r.t. the volume;
+    the Pallas path routes through the dedicated transpose kernel)."""
+    n = sum(len(g[0]) for g in gstruct)
+    sino = jnp.asarray(sino).reshape(n, geom.n_det).astype(dtype)
+
+    def fwd(v):
+        return project_scalars(v, geom, gstruct, scalars, quad,
+                               dtype=dtype, views_chunk=views_chunk)
+
+    _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
+    (vol_bar,) = vjp_fn(sino)
+    return vol_bar
+
+
+def group_scalars_for(geom: Geometry, views: Views, gstruct,
+                      quad: str = "arc", dtype=jnp.float32):
+    """Recompute scalar arrays for a FIXED group structure.
+
+    The alternating driver freezes octant-group membership across outer
+    iterations so its compiled solver program survives per-view θ updates
+    (a boundary view flipping octants would otherwise change the static
+    group structure and force a recompile). Frozen flags stay *valid* as
+    long as the oriented frame still has ``edy > 0`` and ``eux > 0``
+    (guaranteed by the flags at freeze time; ±0.02 rad refinement steps
+    cannot cross the 90° sign boundaries, only the harmless 45°
+    dominance boundary). Returns ``None`` if validity is lost — the
+    caller should regroup via :func:`scalar_groups`.
+
+    The frozen ``use_kernel`` flags are also kept as-is: re-evaluating
+    :func:`~tomojax.kernels.slab.kernel_bounds_ok` per outer could flip a
+    group between kernel and XLA programs, forcing a fresh compile
+    mid-run (minutes each through the remote-TPU tunnel, and compiles
+    are where the flaky worker crashes). Band-budget excursions under a
+    frozen-True flag degrade gracefully — every dynamic anchor in the
+    kernel is clipped — and the alternating driver's θ updates converge
+    back into budget."""
+    from tomojax.kernels import slab as slabk
+    views = jax.tree.map(np.asarray, views)
+    new_g, scalars = [], []
+    for idx, sw, yf, uf, uk in gstruct:
+        sub = _take_views(views, np.asarray(idx))
+        sc = slab_scalars_np(geom, sub, sw, yf, uf, quad)
+        if not (np.all(sc[:, slabk.S_EDY] > 0.0)
+                and np.all(sc[:, slabk.S_EUX] > 0.0)):
+            return None
+        new_g.append((idx, sw, yf, uf, uk))
+        scalars.append(jnp.asarray(sc, dtype))
+    return tuple(new_g), tuple(scalars)

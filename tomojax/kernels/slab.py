@@ -594,6 +594,8 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
     :returns: (V, nu, nv) f32 sinograms (u-major within a view)."""
     if deriv is not None or jweight or rweight:
         assert quad == "arc", "Jacobian variants are arc-mode only"
+        assert deriv in (None, "x", "y", "z", "zm", "zc"), \
+            f"unknown deriv variant {deriv!r}"
     if os.environ.get("TOMOJAX_SLAB_KERNEL") == "interpret":
         interpret = True      # CPU-mesh tests of kernel-routed operators
     statics, C = _statics(geom, quad)
