@@ -128,6 +128,10 @@ def main():
                          "(default: lm_slab at >=64^3 — one exact-family "
                          "LM program over many views exceeds the runtime "
                          "watchdog there — exact-family lm below)")
+    ap.add_argument("--accel", type=int, default=4,
+                    help="Aitken-accelerate the alternation every N "
+                         "outers (0 disables; see "
+                         "pipeline.aitken_extrapolate)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (cpu/tpu)")
     ap.add_argument("--out", default=None)
@@ -250,6 +254,7 @@ def main():
             refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
             refine_method=refine_bulk, family=fam_bulk,
+            accel_period=args.accel or None,
             progress=True, callback=cb("fast"))
         views0 = state.views
     if args.outers_exact > 0:
@@ -263,6 +268,7 @@ def main():
             refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
             refine_method=refine_polish, family=fam_polish, progress=True,
+            accel_period=args.accel or None,
             checkpoint_dir=stage_ckpt("exact"),
             volume0=None if state is None else state.volume,
             callback=cb("exact"))
@@ -275,6 +281,7 @@ def main():
             param_set=args.param_set,
             refine_iters=args.refine_iters_polish,
             refine_method=refine_polish, family=fam_polish, progress=True,
+            accel_period=args.accel or None,
             checkpoint_dir=stage_ckpt("polish"),
             volume0=state.volume, callback=cb("polish"))
 

@@ -329,6 +329,34 @@ def test_refine_views_slab_recovers_shifts():
     assert err < 0.15 * err0, (err, err0)
 
 
+def test_aitken_extrapolate_geometric_and_safeguards():
+    """Aitken Δ² on the outer alternation: exact limit recovery for a
+    geometric sequence, masked params untouched, non-contracting and
+    sign-flipping sequences left alone, jumps clipped into the box."""
+    from tomojax.align.pipeline import aitken_extrapolate
+    rng = np.random.default_rng(5)
+    n = 7
+    star = rng.uniform(-1, 1, (n, 6))
+    c = rng.uniform(0.5, 2.0, (n, 6))
+    rho = 0.9
+    th = [star + c * rho**k for k in range(3)]
+    mask = np.array([True, False, True, False, True, True])
+    lo = np.full((n, 6), -10.0)
+    hi = np.full((n, 6), 10.0)
+    out = aitken_extrapolate(th[0], th[1], th[2], lo, hi, mask,
+                             gain_cap=1e6)
+    np.testing.assert_allclose(out[:, mask], star[:, mask], atol=1e-9)
+    np.testing.assert_array_equal(out[:, ~mask], th[2][:, ~mask])
+    # oscillating (sign-flipping) differences: no jump
+    osc = [star, star + 0.1, star - 0.1 + 0.02]
+    out2 = aitken_extrapolate(osc[0], osc[1], osc[2], lo, hi, mask)
+    np.testing.assert_array_equal(out2, np.clip(osc[2], lo, hi))
+    # box clip: limit outside the box lands on the bound
+    out3 = aitken_extrapolate(th[0], th[1], th[2], lo,
+                              np.full((n, 6), -0.5), mask, gain_cap=1e6)
+    assert np.all(out3 <= -0.5 + 1e-12)
+
+
 def test_refine_views_slab_frozen_groups_match():
     """refine_views_slab with a FROZEN group structure (as the
     alternating pipeline passes after its first outer iteration) must

@@ -77,6 +77,37 @@ class AlignState(NamedTuple):
     history: dict           # per-outer-iteration metric lists
 
 
+def aitken_extrapolate(th0, th1, th2, lo, hi, mask, gain_cap=100.0):
+    """Elementwise Aitken Δ² extrapolation of the alternation map.
+
+    The alternating recon↔refine driver is a fixed-point iteration
+    θ_{k+1} = F(θ_k) whose slowest mode (per-view tx, which couples to
+    the reconstruction through the in-plane rotation) contracts at
+    ~0.99/outer — thousands of outers to 1e-4. Near the fixed point each
+    (view, param) converges geometrically, so from three consecutive
+    iterates θ_0, θ_1, θ_2 the limit is
+
+        θ* ≈ θ_2 + d1 · r/(1-r),   d1 = θ_2-θ_1, r = d1/d0 (elementwise)
+
+    applied only where the sequence is actually contracting in a
+    consistent direction (d1·d0 > 0, |r| < 0.995), with the jump capped
+    at ``gain_cap``×|d1| and clipped into the box. The refinement step
+    after the jump acts as the safeguard: LM accepts/rejects against the
+    true cost, so an over-jump is pulled back at normal LM speed.
+
+    (Anderson-style acceleration of the outer loop; the reference has no
+    counterpart — it runs a fixed 35 outers, ``align_rigid.py:27``.)"""
+    th0, th1, th2 = (np.asarray(a, np.float64) for a in (th0, th1, th2))
+    d0, d1 = th1 - th0, th2 - th1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.where(np.abs(d0) > 0, d1 / np.where(d0 == 0, 1.0, d0), 0.0)
+    ok = (d1 * d0 > 0) & (np.abs(r) < 0.995) & np.asarray(mask)[None, :]
+    gain = np.clip(r / (1.0 - r), -gain_cap, gain_cap)
+    out = np.where(ok, th2 + d1 * gain, th2)
+    return np.clip(out, np.asarray(lo, np.float64),
+                   np.asarray(hi, np.float64))
+
+
 def _default_bounds(dtype=jnp.float32):
     """The reference's L-BFGS-B box: ±3 px translations, ±0.02 rad angles
     (``align_rigid.py:48``), unconstrained phi (not optimized by default)."""
@@ -92,6 +123,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       refine_chunk: int | None = None,
                       param_set: str = "xzab", refine_iters: int = 12,
                       refine_method: str = "lm",
+                      accel_period: int | None = None,
                       bounds=None, ground_truth=None, dtype=jnp.float32,
                       family: str = "ray",
                       volume0=None,
@@ -127,6 +159,12 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         at most this many views (default: an automatic memory/watchdog
         heuristic).  Views are independent, so chunking is exactly
         equivalent to the unchunked batched refinement.
+    :param accel_period: if set, apply :func:`aitken_extrapolate` to the
+        per-view θ sequence every this many outer iterations (plus a
+        one-shot re-centering of box-corner-pinned parameters) — orders
+        of magnitude faster convergence of the alternation's slow tx
+        mode.  ``None`` (default) disables acceleration (the reference's
+        plain alternation).
     :param checkpoint_dir: if set, write ``align_ckpt_####.npz`` per outer
         iteration and resume from the latest on restart.
     :returns: final :class:`AlignState`.
@@ -169,6 +207,9 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
     quad = "arc" if family == "slab" else "plane"
     gstruct = None
     refine_gs = None       # frozen octant groups for lm_slab (see below)
+    th_hist: list = []     # last 3 θ iterates for aitken_extrapolate
+    last_jump = start_iter - 1
+    escaped = np.zeros((geom.n_proj, 6), bool)
     t_hb = time.perf_counter()
 
     def hb(msg):
@@ -256,6 +297,42 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                         max_iter=refine_iters, dtype=dtype))
                     hb(f"outer {it}: refine {min(i0 + vchunk, n)}/{n}")
                 ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+            if (accel_period and refine_gs is not None
+                    and (it + 1) % accel_period == 0):
+                # flip rescue: a view stuck in a tilt-sign-mirrored local
+                # minimum (near-symmetric object ⇒ P(α) ≈ P(-α) at
+                # special φ) has an outlier residual LM cannot descend
+                # out of. Re-run the batched LM from sign-flipped tilt
+                # inits for cost-outlier views; keep the per-view lower
+                # cost. One extra compiled-program call per cycle.
+                cost_np = np.asarray(ref.cost, np.float64)
+                med = float(np.median(cost_np))
+                bad = cost_np > 4.0 * med
+                if bad.any():
+                    th = np.asarray(ref.theta6, np.float64)
+                    th_alt = th.copy()
+                    for col in (4, 5):
+                        if mask[col]:
+                            th_alt[bad, col] = -th_alt[bad, col]
+                    th_alt = np.clip(th_alt, np.asarray(lo, np.float64),
+                                     np.asarray(hi, np.float64))
+                    alt = Views.from_theta6(jnp.asarray(th_alt, dtype),
+                                            cor=views.cor)
+                    ref2 = refine_views_slab(
+                        volume, projections, geom, alt, mask=mask,
+                        lower=lo, upper=hi, max_iter=refine_iters,
+                        groups=refine_gs, dtype=dtype)
+                    take = (np.asarray(ref2.cost, np.float64)
+                            < cost_np) & bad
+                    if take.any():
+                        th[take] = np.asarray(ref2.theta6,
+                                              np.float64)[take]
+                        hb(f"outer {it}: flip-rescue improved "
+                           f"{int(take.sum())}/{int(bad.sum())} views")
+                        ref = ref._replace(
+                            theta6=jnp.asarray(th, dtype),
+                            cost=jnp.where(jnp.asarray(take), ref2.cost,
+                                           ref.cost))
             theta = ref.theta6
         elif refine_method == "gd_fast":
             from tomojax.align.refine import gradient_descent_view
@@ -307,6 +384,34 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         views = Views.from_theta6(theta, cor=views.cor)
         cost = float(jnp.sum(ref.cost))
         history["refine_cost"].append(cost)
+
+        if accel_period:
+            th_hist.append(np.asarray(theta, np.float64))
+            if len(th_hist) > 3:
+                th_hist.pop(0)
+            if len(th_hist) == 3 and (it - last_jump) >= accel_period:
+                lo_np, hi_np = np.asarray(lo, np.float64), \
+                    np.asarray(hi, np.float64)
+                th_acc = aitken_extrapolate(*th_hist, lo_np, hi_np, mask)
+                # one-shot corner escape: a masked parameter pinned at
+                # its bound (LM pushing outside the box, typically a
+                # wrong-side local minimum seeded by an early bad recon)
+                # is re-centered once; if it returns to the corner it is
+                # left there (it genuinely wants the bound)
+                at_edge = ((np.abs(th_acc - lo_np) < 1e-9)
+                           | (np.abs(th_acc - hi_np) < 1e-9)) \
+                    & np.asarray(mask)[None, :] & ~escaped
+                mid = np.asarray(theta_init, np.float64)
+                th_acc = np.where(at_edge, mid, th_acc)
+                escaped |= at_edge
+                njump = int(np.sum(np.abs(
+                    th_acc - th_hist[-1]) > 1e-12))
+                hb(f"outer {it}: aitken jump on {njump} params "
+                   f"({int(at_edge.sum())} corner escapes)")
+                views = Views.from_theta6(
+                    jnp.asarray(th_acc, dtype), cor=views.cor)
+                th_hist.clear()
+                last_jump = it
 
         if verbose:
             print(f"[align] outer {it:3d}: recon rms={rms:.5f} "
