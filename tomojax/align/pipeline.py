@@ -305,34 +305,46 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                 # out of. Re-run the batched LM from sign-flipped tilt
                 # inits for cost-outlier views; keep the per-view lower
                 # cost. One extra compiled-program call per cycle.
+                # candidates: every view (a sign-mirrored basin is often
+                # NOT a cost outlier — near φ=0/π the mirror residual is
+                # within noise of the true basin until the recon
+                # sharpens, so outlier gating misses exactly the stuck
+                # views); per-view strict cost comparison keeps winners
                 cost_np = np.asarray(ref.cost, np.float64)
-                med = float(np.median(cost_np))
-                bad = cost_np > 4.0 * med
+                bad = np.ones(cost_np.shape, bool)
                 if bad.any():
                     th = np.asarray(ref.theta6, np.float64)
-                    th_alt = th.copy()
-                    for col in (4, 5):
-                        if mask[col]:
+                    best = cost_np.copy()
+                    n_take = 0
+                    lo_np = np.asarray(lo, np.float64)
+                    hi_np = np.asarray(hi, np.float64)
+                    combos = [c for c in ((4,), (5,), (4, 5))
+                              if all(mask[i] for i in c)]
+                    for cols in combos:
+                        th_alt = th.copy()
+                        for col in cols:
                             th_alt[bad, col] = -th_alt[bad, col]
-                    th_alt = np.clip(th_alt, np.asarray(lo, np.float64),
-                                     np.asarray(hi, np.float64))
-                    alt = Views.from_theta6(jnp.asarray(th_alt, dtype),
-                                            cor=views.cor)
-                    ref2 = refine_views_slab(
-                        volume, projections, geom, alt, mask=mask,
-                        lower=lo, upper=hi, max_iter=refine_iters,
-                        groups=refine_gs, dtype=dtype)
-                    take = (np.asarray(ref2.cost, np.float64)
-                            < cost_np) & bad
-                    if take.any():
-                        th[take] = np.asarray(ref2.theta6,
-                                              np.float64)[take]
+                        th_alt = np.clip(th_alt, lo_np, hi_np)
+                        alt = Views.from_theta6(
+                            jnp.asarray(th_alt, dtype), cor=views.cor)
+                        ref2 = refine_views_slab(
+                            volume, projections, geom, alt, mask=mask,
+                            lower=lo, upper=hi, max_iter=refine_iters,
+                            groups=refine_gs, dtype=dtype)
+                        c2 = np.asarray(ref2.cost, np.float64)
+                        take = (c2 < best) & bad
+                        if take.any():
+                            th[take] = np.asarray(ref2.theta6,
+                                                  np.float64)[take]
+                            best[take] = c2[take]
+                            n_take += int(take.sum())
+                    if n_take:
                         hb(f"outer {it}: flip-rescue improved "
-                           f"{int(take.sum())}/{int(bad.sum())} views")
+                           f"{int((best < cost_np).sum())}/"
+                           f"{int(bad.sum())} views")
                         ref = ref._replace(
                             theta6=jnp.asarray(th, dtype),
-                            cost=jnp.where(jnp.asarray(take), ref2.cost,
-                                           ref.cost))
+                            cost=jnp.asarray(best, dtype))
             theta = ref.theta6
         elif refine_method == "gd_fast":
             from tomojax.align.refine import gradient_descent_view
