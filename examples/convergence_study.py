@@ -116,6 +116,21 @@ def main():
                          "semi-convergence)")
     ap.add_argument("--recon-iters-polish", type=int, default=120)
     ap.add_argument("--refine-iters-polish", type=int, default=40)
+    ap.add_argument("--outers-debias", type=int, default=0,
+                    help="final defect-correction stage: slab solver on "
+                         "exact-family-recentered data (removes the "
+                         "slab<->exact operator-mismatch bias floor)")
+    ap.add_argument("--debias-period", type=int, default=1,
+                    help="outers between exact-family defect recomputes")
+    ap.add_argument("--data-family", default="ray",
+                    choices=["ray", "slab", "slab_plane"],
+                    help="projector family for data generation. 'ray' "
+                         "(default) is a cross-family protocol (solve "
+                         "slab on exact data — needs --outers-debias to "
+                         "beat the ~1e-3 mismatch floor); 'slab' is the "
+                         "reference's own inverse-crime protocol "
+                         "(examples/align_rigid.py refines against data "
+                         "from its own projector)")
     ap.add_argument("--refine-bulk", default=None,
                     choices=["lm", "gd_fast", "lm_slab"],
                     help="refinement for the bulk stage (default: lm_slab "
@@ -175,16 +190,23 @@ def main():
     # cache it in the checkpoint dir so watchdog restarts skip the
     # minutes-long exact-family projection
     ckpt_root = args.ckpt_dir or (args.out + ".ckpt" if args.out else None)
-    data_cache = (os.path.join(ckpt_root, "data.npz") if ckpt_root
-                  else None)
+    data_name = ("data.npz" if args.data_family == "ray"
+                 else f"data_{args.data_family}.npz")
+    data_cache = os.path.join(ckpt_root, data_name) if ckpt_root else None
     if data_cache and os.path.exists(data_cache):
         proj_meas = jnp.asarray(np.load(data_cache)["proj"])
         print(f"[gen] loaded cached projections from {data_cache}",
               flush=True)
     else:
         print(f"[gen] projecting {n}^3 phantom, {n_proj} jittered views "
-              f"(±{args.jitter_px} px, ±{args.jitter_deg} deg)", flush=True)
-        proj_meas = projector.project(vol, geom, views_true)
+              f"(±{args.jitter_px} px, ±{args.jitter_deg} deg, "
+              f"family={args.data_family})", flush=True)
+        if args.data_family == "ray":
+            proj_meas = projector.project(vol, geom, views_true)
+        else:
+            from tomojax.core import slab_projector as sp
+            quad = "arc" if args.data_family == "slab" else "plane"
+            proj_meas = sp.project(vol, geom, views_true, quad=quad)
         jax.block_until_ready(proj_meas)
         if data_cache:
             os.makedirs(ckpt_root, exist_ok=True)
@@ -284,6 +306,23 @@ def main():
             accel_period=args.accel or None,
             checkpoint_dir=stage_ckpt("polish"),
             volume0=state.volume, callback=cb("polish"))
+    if args.outers_debias > 0:
+        # defect-correction stage: slab-family solver/refiner against
+        # exact-family-recentered data — removes the slab<->exact operator
+        # mismatch bias (~1e-3 in theta; scripts/c64_floor.py) so the
+        # cross-family run converges to the exact-consistent fixed point
+        state = align_reconstruct(
+            proj_meas, geom, state.views, outer_iters=args.outers_debias,
+            recon=args.recon, recon_iters=args.recon_iters_polish,
+            recon_chunk=args.recon_chunk,
+            refine_chunk=args.refine_chunk,
+            param_set=args.param_set,
+            refine_iters=args.refine_iters_polish,
+            refine_method=refine_polish, family=fam_polish, progress=True,
+            accel_period=args.accel or None,
+            debias_period=args.debias_period,
+            checkpoint_dir=stage_ckpt("debias"),
+            volume0=state.volume, callback=cb("debias"))
 
     record["total_wall_s"] = time.perf_counter() - t_start
     final = record["iters"][-1] if record["iters"] else {}

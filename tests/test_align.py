@@ -453,3 +453,54 @@ def test_align_to_reprojection_bounded_and_com_superior():
     t_com[:, 2] = est[:, 1]
     r_com = resid_of(t_com)
     assert r_com < 0.3 and r_com < r_reproj, (r_com, r_reproj)
+
+
+@pytest.mark.slow
+def test_debias_defect_fixed_point():
+    """Defect correction removes the slab<->exact mismatch bias.
+
+    The cross-family protocol (data from the exact ray family, solved
+    with the slab family) has an operator-mismatch bias floor: slab LM
+    started AT the truth walks away by ~1e-3 (scripts/c64_floor.py).
+    Re-centering the data by the defect d = P_exact - P_slab evaluated
+    at the truth makes the truth an exact stationary point again:
+    P_slab(x_true, th_true) - (meas - d) == P_exact - meas == 0."""
+    from tomojax.core import slab_projector as slabp
+    from tomojax.align.slab_refine import refine_views_slab
+    from tomojax.align.pipeline import _exact_forward
+    n, n_proj = 16, 6
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    rng = np.random.default_rng(7)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-1.0, 1.0, n_proj)
+    t[:, 2] = rng.uniform(-1.0, 1.0, n_proj)
+    phi = 0.2 + np.linspace(0, np.pi, n_proj, endpoint=False)
+    vt = Views.create(n_proj, phi=phi,
+                      alpha=rng.uniform(-0.01, 0.01, n_proj),
+                      beta=rng.uniform(-0.01, 0.01, n_proj), t=t)
+    meas = projector.project(vol, geom, vt).reshape(n_proj, -1)
+    p_slab = slabp.project(vol, geom, vt, quad="arc").reshape(n_proj, -1)
+    p_exact = _exact_forward(vol, geom, vt, jnp.float32, chunk=4)
+    # the host-chunked debias forward IS the exact family
+    np.testing.assert_allclose(np.asarray(p_exact), np.asarray(meas),
+                               rtol=0, atol=1e-5)
+    work = meas - (p_exact - p_slab)
+    # corrected residual at the truth is zero up to f32 roundoff
+    r = float(jnp.linalg.norm(p_slab - work) / jnp.linalg.norm(meas))
+    assert r < 1e-5, r
+
+    th_true = np.asarray(vt.theta6(), np.float64)
+    lo = jnp.asarray(th_true - 0.5)
+    hi = jnp.asarray(th_true + 0.5)
+    mask = PARAM_SETS["xzab"]
+    kw = dict(mask=mask, lower=lo, upper=hi, max_iter=10)
+    walk_raw = np.abs(np.asarray(refine_views_slab(
+        vol, meas, geom, vt, **kw).theta6, np.float64) - th_true)
+    walk_cor = np.abs(np.asarray(refine_views_slab(
+        vol, work, geom, vt, **kw).theta6, np.float64) - th_true)
+    m = np.asarray(mask, bool)
+    # debiased LM stays at the truth; raw cross-family LM walks away
+    assert walk_cor[:, m].max() < 1e-4, walk_cor.max(0)
+    assert walk_cor[:, m].max() <= walk_raw[:, m].max(), (
+        walk_cor.max(0), walk_raw.max(0))

@@ -70,6 +70,30 @@ def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=8)
+def _exact_fwd_prog(geom: Geometry, dtype_str: str):
+    """Jitted exact-family forward for one view chunk (debias stage)."""
+    from tomojax.core import projector
+    dtype = jnp.dtype(dtype_str)
+    return jax.jit(lambda vol, views: projector.project(vol, geom, views,
+                                                        dtype=dtype))
+
+
+def _exact_forward(volume, geom: Geometry, views: Views, dtype,
+                   chunk: int) -> jnp.ndarray:
+    """Host-chunked exact ray-family forward ``(n_proj, n_det)``.
+
+    Each chunk is its own device program (the runtime watchdog kills
+    single long programs at >=64^3 x many views)."""
+    n = geom.n_proj
+    prog = _exact_fwd_prog(geom, jnp.dtype(dtype).name)
+    parts = []
+    for i0 in range(0, n, chunk):
+        sl = np.arange(i0, min(i0 + chunk, n))
+        parts.append(prog(volume, jax.tree.map(lambda a: a[sl], views)))
+    return jnp.concatenate(parts).reshape(n, -1)
+
+
 class AlignState(NamedTuple):
     views: Views            # current per-view parameter estimates
     volume: jnp.ndarray     # current reconstruction
@@ -124,6 +148,8 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       param_set: str = "xzab", refine_iters: int = 12,
                       refine_method: str = "lm",
                       accel_period: int | None = None,
+                      debias_period: int | None = None,
+                      debias_chunk: int = 15,
                       bounds=None, ground_truth=None, dtype=jnp.float32,
                       family: str = "ray",
                       volume0=None,
@@ -165,6 +191,25 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         of magnitude faster convergence of the alternation's slow tx
         mode.  ``None`` (default) disables acceleration (the reference's
         plain alternation).
+    :param debias_period: defect-correction against the exact ray family
+        (only meaningful with the slab families).  Every this many outers
+        the working data is re-centered to
+
+            b_work = b_meas − (P_exact(x, θ) − P_slab(x, θ))
+
+        at the current (volume, θ), so the *slab-family* solver/refiner
+        converge to the fixed point ``P_exact(x*, θ*) = b_meas`` — the
+        slab↔exact operator mismatch (rel ~1e-3 per view at 64³ jittered
+        geometry) otherwise biases the recovered parameters at the
+        few-1e-3 level (measured by ``scripts/c64_floor.py``: slab LM
+        started at the truth walks away by ~2e-3 in tz on exact data,
+        but stays at ~4e-6 on slab data).  One host-chunked exact-family
+        forward per period is the only extra cost; correction error is
+        second order in (θ − θ_k, x − x_k).  The classic defect
+        correction / inexact-Newton outer loop; the reference has no
+        counterpart (it refines against its own data-generating operator
+        — an inverse-crime protocol, ``examples/align_rigid.py:40-52``).
+    :param debias_chunk: views per exact-family forward program.
     :param checkpoint_dir: if set, write ``align_ckpt_####.npz`` per outer
         iteration and resume from the latest on restart.
     :returns: final :class:`AlignState`.
@@ -217,7 +262,24 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             print(f"[pipeline] {msg} (t={time.perf_counter() - t_hb:.0f}s)",
                   flush=True)
 
+    proj_work = projections   # debias stage re-centers this (see below)
+    defect_done = -1          # outer index of the last defect recompute
+
     for it in range(start_iter, outer_iters):
+        if (debias_period and family in ("slab", "slab_plane")
+                and (defect_done < 0 or (it - start_iter) % debias_period
+                     == 0)
+                and bool(jnp.any(volume != 0))):
+            from tomojax.core import slab_projector as sp
+            p_exact = _exact_forward(volume, geom, views, dtype,
+                                     debias_chunk)
+            p_fam = sp.project(volume, geom, views, quad=quad,
+                               dtype=dtype).reshape(geom.n_proj, -1)
+            d = (p_exact - p_fam).astype(dtype)
+            proj_work = projections - d
+            defect_done = it
+            rel = float(jnp.linalg.norm(d) / jnp.linalg.norm(projections))
+            hb(f"outer {it}: debias defect rel={rel:.2e}")
         # host-chunk the solver so no single device program exceeds the
         # runtime watchdog (the axon runtime kills very long programs;
         # 64^3+ exact-family SIRT/CGLS over many views trips it)
@@ -237,7 +299,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                 nit = min(chunk, recon_iters - done)
                 prog = _slab_recon_prog(geom, quad, recon, nit, positivity,
                                         gstruct, jnp.dtype(dtype).name)
-                volume, rms_arr, n_it = prog(volume, projections, scalars)
+                volume, rms_arr, n_it = prog(volume, proj_work, scalars)
                 done += nit
                 hb(f"outer {it}: recon {done}/{recon_iters}")
             rms = float(np.asarray(rms_arr)[max(0, int(n_it) - 1)])
@@ -246,11 +308,11 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             while done < recon_iters:
                 nit = min(chunk, recon_iters - done)
                 if recon == "sirt":
-                    r = _sirt(op, projections, niter=nit,
+                    r = _sirt(op, proj_work, niter=nit,
                               positivity=positivity, x0=volume,
                               ground_truth=ground_truth)
                 elif recon == "cgls":
-                    r = _cgls(op, projections, niter=nit, x0=volume,
+                    r = _cgls(op, proj_work, niter=nit, x0=volume,
                               ground_truth=ground_truth)
                 else:
                     raise ValueError(f"unknown recon {recon!r}")
@@ -281,7 +343,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                 if refine_gs is None:
                     refine_gs, _ = sp.scalar_groups(geom, views, "arc",
                                                     dtype)
-                ref = refine_views_slab(volume, projections, geom, views,
+                ref = refine_views_slab(volume, proj_work, geom, views,
                                         mask=mask, lower=lo, upper=hi,
                                         max_iter=refine_iters,
                                         groups=refine_gs, dtype=dtype)
@@ -292,7 +354,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                     sl = np.arange(i0, min(i0 + vchunk, n))
                     sub = jax.tree.map(lambda a: a[sl], views)
                     parts.append(refine_views_slab(
-                        volume, projections[sl], geom, sub, mask=mask,
+                        volume, proj_work[sl], geom, sub, mask=mask,
                         lower=lo[sl], upper=hi[sl],
                         max_iter=refine_iters, dtype=dtype))
                     hb(f"outer {it}: refine {min(i0 + vchunk, n)}/{n}")
@@ -328,7 +390,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                         alt = Views.from_theta6(
                             jnp.asarray(th_alt, dtype), cor=views.cor)
                         ref2 = refine_views_slab(
-                            volume, projections, geom, alt, mask=mask,
+                            volume, proj_work, geom, alt, mask=mask,
                             lower=lo, upper=hi, max_iter=refine_iters,
                             groups=refine_gs, dtype=dtype)
                         c2 = np.asarray(ref2.cost, np.float64)
@@ -367,7 +429,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             parts = []
             for i0 in range(0, n, chunk):
                 sl = slice(i0, min(i0 + chunk, n))
-                parts.append(fj(th_all[sl], projections[sl], views.cor[sl]))
+                parts.append(fj(th_all[sl], proj_work[sl], views.cor[sl]))
             ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
             theta = jnp.clip(ref.theta6, lo, hi)
         else:
@@ -377,7 +439,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             vchunk = refine_chunk or max(
                 1, min(n, (1 << 23) // max(1, geom.n_vox)))
             if vchunk >= n:
-                ref = refine_views(volume, projections, geom, views,
+                ref = refine_views(volume, proj_work, geom, views,
                                    mask=mask, lower=lo, upper=hi,
                                    max_iter=refine_iters, dtype=dtype)
             else:
@@ -386,7 +448,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                     sl = np.arange(i0, min(i0 + vchunk, n))
                     sub = jax.tree.map(lambda a: a[sl], views)
                     parts.append(refine_views(
-                        volume, projections[sl], geom, sub, mask=mask,
+                        volume, proj_work[sl], geom, sub, mask=mask,
                         lower=lo[sl] if lo.ndim == 2 else lo,
                         upper=hi[sl] if hi.ndim == 2 else hi,
                         max_iter=refine_iters, dtype=dtype))
