@@ -147,6 +147,11 @@ def main():
                     help="Aitken-accelerate the alternation every N "
                          "outers (0 disables; see "
                          "pipeline.aitken_extrapolate)")
+    ap.add_argument("--moment-period", type=int, default=1,
+                    help="COM first-moment matching vs reprojections "
+                         "every N outers (0 disables; kills the smooth "
+                         "tx drift quasi-null mode — align.cc."
+                         "moment_match)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (cpu/tpu)")
     ap.add_argument("--out", default=None)
@@ -277,6 +282,7 @@ def main():
             param_set=args.param_set, refine_iters=args.refine_iters,
             refine_method=refine_bulk, family=fam_bulk,
             accel_period=args.accel or None,
+            moment_period=args.moment_period or None,
             progress=True, callback=cb("fast"))
         views0 = state.views
     if args.outers_exact > 0:
@@ -291,6 +297,7 @@ def main():
             param_set=args.param_set, refine_iters=args.refine_iters,
             refine_method=refine_polish, family=fam_polish, progress=True,
             accel_period=args.accel or None,
+            moment_period=args.moment_period or None,
             checkpoint_dir=stage_ckpt("exact"),
             volume0=None if state is None else state.volume,
             callback=cb("exact"))
@@ -304,6 +311,7 @@ def main():
             refine_iters=args.refine_iters_polish,
             refine_method=refine_polish, family=fam_polish, progress=True,
             accel_period=args.accel or None,
+            moment_period=args.moment_period or None,
             checkpoint_dir=stage_ckpt("polish"),
             volume0=state.volume, callback=cb("polish"))
     if args.outers_debias > 0:
@@ -320,6 +328,7 @@ def main():
             refine_iters=args.refine_iters_polish,
             refine_method=refine_polish, family=fam_polish, progress=True,
             accel_period=args.accel or None,
+            moment_period=args.moment_period or None,
             debias_period=args.debias_period,
             checkpoint_dir=stage_ckpt("debias"),
             volume0=state.volume, callback=cb("debias"))

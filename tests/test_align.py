@@ -504,3 +504,72 @@ def test_debias_defect_fixed_point():
     assert walk_cor[:, m].max() < 1e-4, walk_cor.max(0)
     assert walk_cor[:, m].max() <= walk_raw[:, m].max(), (
         walk_cor.max(0), walk_raw.max(0))
+
+
+def test_moment_match_measures_translation_error():
+    """First-moment matching vs reprojections measures per-view (tx, tz)
+    error up to gauge (tx: {cos phi, sin phi}; tz: {const}) regardless of
+    the volume — including the constant/smooth tx modes invisible to
+    per-view refinement (round-2 c64 plateau)."""
+    from tomojax.align import moment_match
+    n, n_proj = 32, 24
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    rng = np.random.default_rng(3)
+    phi = np.linspace(0, np.pi, n_proj, endpoint=False)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-1.5, 1.5, n_proj)
+    t[:, 2] = rng.uniform(-1.5, 1.5, n_proj)
+    true_views = Views.create(n_proj, phi=phi, t=t)
+    meas = projector.project(vol, geom, true_views)
+
+    # estimate errors: constant tx (COR-like quasi-null mode) + smooth
+    # drift + constant tz
+    terr = np.zeros((n_proj, 3))
+    terr[:, 0] = 0.4 + 0.2 * np.cos(2 * phi)
+    terr[:, 2] = -0.3
+    est_views = Views.create(n_proj, phi=phi, t=t + terr)
+    synth = projector.project(vol, geom, est_views)
+
+    d = moment_match(meas, synth, geom.det_shape)
+    # corrected estimates: residual error must lie in the gauge subspace
+    res_tx = (t[:, 0] + terr[:, 0] + d[:, 0]) - t[:, 0]
+    res_tz = (t[:, 2] + terr[:, 2] + d[:, 1]) - t[:, 2]
+    A = np.stack([np.cos(phi), np.sin(phi)], 1)
+    coef, *_ = np.linalg.lstsq(A, res_tx, rcond=None)
+    res_tx_gc = res_tx - A @ coef
+    res_tz_gc = res_tz - res_tz.mean()
+    assert np.abs(res_tx_gc).mean() < 0.03, np.abs(res_tx_gc).mean()
+    assert np.abs(res_tz_gc).mean() < 1e-3, np.abs(res_tz_gc).mean()
+
+
+def test_align_reconstruct_moment_hook_kills_constant_tx():
+    """Pipeline moment hook: a coherent constant-tx ground-truth component
+    (non-gauge; per-view LM alone contracts it at ~0.99/outer) is removed
+    by the per-outer moment-matching step."""
+    n, n_proj = 16, 12
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    phi = np.linspace(0, np.pi, n_proj, endpoint=False)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = 0.6          # pure coherent mode: the worst case
+    true_views = Views.create(n_proj, phi=phi, t=t)
+    meas = projector.project(vol, geom, true_views)
+    views0 = Views.create(n_proj, phi=phi)
+
+    kw = dict(outer_iters=4, recon="sirt", recon_iters=25,
+              param_set="xz", refine_iters=5)
+    on = align_reconstruct(meas, geom, views0, moment_period=1, **kw)
+    off = align_reconstruct(meas, geom, views0, moment_period=None, **kw)
+
+    def gc_err(state):
+        # remove the {cos, sin} volume-shift gauge; the constant (COR)
+        # component is NOT gauge and must actually be recovered
+        r = np.asarray(state.views.t, np.float64)[:, 0] - 0.6
+        A = np.stack([np.cos(phi), np.sin(phi)], 1)
+        coef, *_ = np.linalg.lstsq(A, r, rcond=None)
+        return np.abs(r - A @ coef).mean()
+
+    err_on, err_off = gc_err(on), gc_err(off)
+    assert err_on < 0.06, (err_on, err_off)
+    assert err_on < 0.5 * err_off, (err_on, err_off)

@@ -1,6 +1,7 @@
 from tomojax.align.cc import (
     phase_cross_correlation, cor_flipping, cross_correlation_chain,
     com_align,
+    moment_match,
     cross_correlation_filtered, fourier_shift,
 )
 from tomojax.align.refine import (
@@ -12,6 +13,7 @@ from tomojax.align.pipeline import align_reconstruct, AlignState
 __all__ = [
     "phase_cross_correlation", "cor_flipping", "cross_correlation_chain",
     "com_align",
+    "moment_match",
     "cross_correlation_filtered", "fourier_shift", "PARAM_SETS",
     "refine_view", "refine_views", "gradient_descent_view",
     "alignment_cost", "alignment_cost_grad", "align_reconstruct",

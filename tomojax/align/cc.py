@@ -296,3 +296,61 @@ def com_align(projections, geom, phi, dtype=jnp.float32):
     tx = jnp.mean(u_com) - u_com
     tz = jnp.mean(v_com) - v_com
     return jnp.stack([tx, tz], axis=1)
+
+
+def moment_match(meas, synth, det_shape):
+    """Per-view (Δtx, Δtz) additive corrections from sinogram first-moment
+    (center-of-mass) matching against reprojections.
+
+    Helgason–Ludwig 1st-moment consistency, applied *differentially*: for
+    ANY volume x the reprojection's detector center-of-mass is rigidly
+
+        u_com(φ) = [R(φ,α,β)⁻¹ c(x)]_u − tx,   v_com(φ) = [...]_z − tz
+
+    (content moves by exactly −t in the co-rotating detector frame;
+    trilinear hat weights preserve discrete first moments away from
+    boundaries, so this holds for the discrete operator too). The volume
+    term contributes only the gauge modes (tx: {cosφ, sinφ} volume shift,
+    tz: {const}), so
+
+        Δt = com(synth) − com(meas)
+
+    measures the per-view translation error exactly up to gauge — however
+    much of the misalignment the reconstruction has absorbed. This is the
+    attenuation-free replacement for correlating against reprojections
+    (:func:`align_to_reprojection`, which stalls because the recon fits
+    most of each view's shift): the recon can absorb misalignment in every
+    detail of the image *except* its first moment. Iterated once per outer
+    alternation it contracts the coherent/smooth tx drift mode — the
+    quasi-null COR-like component block alternation leaves behind (round-2
+    c64: tx plateaued ~2e-3 px while tz/α/β reached 1e-5) — at the cost of
+    one forward apply.
+
+    The reference has no counterpart (its per-view L-BFGS-B refinement,
+    ``examples/align_rigid.py:46-49``, shares the same flat valley).
+
+    :param meas: measured sinogram ``(n_proj, n_det)`` or ``(n_proj,nu,nv)``.
+    :param synth: reprojection of the current (volume, θ), same shape.
+    :param det_shape: ``(nu, nv)``.
+    :returns: ``(n_proj, 2)`` float64 numpy array of (Δtx, Δtz) to ADD to
+        the current per-view (tx, tz) estimates.
+    """
+    nu, nv = det_shape
+    m = np.asarray(meas, np.float64).reshape(-1, nu, nv)
+    s = np.asarray(synth, np.float64).reshape(-1, nu, nv)
+    u = np.arange(nu, dtype=np.float64)[None, :, None]
+    v = np.arange(nv, dtype=np.float64)[None, None, :]
+
+    def com(p):
+        mass = p.sum(axis=(1, 2))
+        mass = np.where(np.abs(mass) > 1e-12, mass, 1.0)
+        return ((p * u).sum(axis=(1, 2)) / mass,
+                (p * v).sum(axis=(1, 2)) / mass)
+
+    mu, mv = com(m)
+    su, sv = com(s)
+    # zero-mass guard: no information → no correction
+    ok = (m.sum(axis=(1, 2)) > 1e-12) & (s.sum(axis=(1, 2)) > 1e-12)
+    du = np.where(ok, su - mu, 0.0)
+    dv = np.where(ok, sv - mv, 0.0)
+    return np.stack([du, dv], axis=1)

@@ -94,6 +94,44 @@ def _exact_forward(volume, geom: Geometry, views: Views, dtype,
     return jnp.concatenate(parts).reshape(n, -1)
 
 
+def _fov_mask(geom: Geometry, margin_u: float, margin_v: float):
+    """In-FOV support mask: voxels whose trilinear footprint projects onto
+    the detector for EVERY view (x–y radius within the detector half-width
+    minus margin; |z| within the v half-height minus margin).
+
+    The moment identity u_com(P(θ) y) = [R⁻¹ c(y)]_u − tx holds for any
+    volume y whose support projects on-detector at every view.  A
+    reconstruction absorbs coherent misalignment partly as corner/edge
+    mass *outside* this cylinder (seen only by some views — exactly what
+    breaks the identity), so the moment hook projects a masked copy.
+    Masking is gauge-exact: it changes c(y) (a {cosφ, sinφ} / {const}
+    gauge term), never the −t term."""
+    nx, ny, nz = geom.vox_shape
+    nu, nv = geom.det_shape
+    x = np.arange(nx, dtype=np.float64) - (nx - 1) / 2.0
+    y = np.arange(ny, dtype=np.float64) - (ny - 1) / 2.0
+    z = np.arange(nz, dtype=np.float64) - (nz - 1) / 2.0
+    r2 = x[:, None] ** 2 + y[None, :] ** 2
+    ru = max(nu / 2.0 - margin_u, 1.0)
+    rv = max(nv / 2.0 - margin_v, 1.0)
+    m = (r2 <= ru * ru)[:, :, None] & (np.abs(z) <= rv)[None, None, :]
+    return m
+
+
+def _family_synth(volume, geom: Geometry, views: Views, family: str,
+                  quad: str, dtype, chunk: int) -> jnp.ndarray:
+    """One forward apply of the given family at the current (volume, θ)
+    — reprojections for the moment-matching hook, ``(n_proj, n_det)``."""
+    if family in ("slab", "slab_plane"):
+        from tomojax.core import slab_projector as sp
+        return sp.project(volume, geom, views, quad=quad,
+                          dtype=dtype).reshape(geom.n_proj, -1)
+    if family == "ray":
+        return _exact_forward(volume, geom, views, dtype, chunk)
+    op = make_operator(geom, views, family=family, dtype=dtype)
+    return op.A(volume).reshape(geom.n_proj, -1)
+
+
 class AlignState(NamedTuple):
     views: Views            # current per-view parameter estimates
     volume: jnp.ndarray     # current reconstruction
@@ -126,7 +164,11 @@ def aitken_extrapolate(th0, th1, th2, lo, hi, mask, gain_cap=100.0):
     with np.errstate(divide="ignore", invalid="ignore"):
         r = np.where(np.abs(d0) > 0, d1 / np.where(d0 == 0, 1.0, d0), 0.0)
     ok = (d1 * d0 > 0) & (np.abs(r) < 0.995) & np.asarray(mask)[None, :]
-    gain = np.clip(r / (1.0 - r), -gain_cap, gain_cap)
+    # |r| < 0.995 where `ok`, but compute gain safely everywhere (r can
+    # be exactly 1 in the masked-out lanes)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gain = np.clip(r / np.where(r == 1.0, np.inf, 1.0 - r),
+                       -gain_cap, gain_cap)
     out = np.where(ok, th2 + d1 * gain, th2)
     return np.clip(out, np.asarray(lo, np.float64),
                    np.asarray(hi, np.float64))
@@ -148,6 +190,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       param_set: str = "xzab", refine_iters: int = 12,
                       refine_method: str = "lm",
                       accel_period: int | None = None,
+                      moment_period: int | None = 1,
                       debias_period: int | None = None,
                       debias_chunk: int = 15,
                       bounds=None, ground_truth=None, dtype=jnp.float32,
@@ -191,6 +234,16 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         of magnitude faster convergence of the alternation's slow tx
         mode.  ``None`` (default) disables acceleration (the reference's
         plain alternation).
+    :param moment_period: every this many outer iterations, correct the
+        per-view (tx, tz) estimates by first-moment (center-of-mass)
+        matching against the current reprojection
+        (:func:`tomojax.align.cc.moment_match`) — the reconstruction can
+        absorb per-view misalignment in everything BUT the sinogram's
+        first moments, so this measures the translation error up to
+        gauge with no attenuation, collapsing the smooth tx drift mode
+        the alternation otherwise contracts at ~0.99/outer. Default 1
+        (every outer); ``None`` disables (the reference's plain
+        alternation).
     :param debias_period: defect-correction against the exact ray family
         (only meaningful with the slab families).  Every this many outers
         the working data is re-centered to
@@ -458,6 +511,42 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         views = Views.from_theta6(theta, cor=views.cor)
         cost = float(jnp.sum(ref.cost))
         history["refine_cost"].append(cost)
+
+        if moment_period and (mask[0] or mask[2]) \
+                and (it + 1) % moment_period == 0 \
+                and bool(jnp.any(volume != 0)):
+            # Helgason–Ludwig 1st-moment matching vs the reprojection:
+            # measures each view's (tx, tz) error up to gauge regardless
+            # of how much misalignment the recon absorbed — the fix for
+            # the coherent/smooth tx drift mode the per-view refinement
+            # cannot see (see align.cc.moment_match). One forward apply.
+            from tomojax.align.cc import moment_match
+            # mask to the all-views-in-FOV cylinder so the reprojection's
+            # first moments are RIGID in (tx, tz) — corner/edge recon mass
+            # is seen by only some views and would soften the constraint
+            # (margin: current |t̂| + tilt slop + trilinear support)
+            t_np = np.abs(np.asarray(views.t, np.float64))
+            tilt = float(np.max(np.abs(np.asarray(
+                jnp.stack([views.alpha, views.beta]), np.float64)))) \
+                if geom.n_proj else 0.0
+            slop = tilt * max(geom.det_shape) / 2.0 + 2.0
+            mom_mask = _fov_mask(geom, float(t_np[:, 0].max()) + slop,
+                                 float(t_np[:, 2].max()) + slop)
+            synth = _family_synth(volume * jnp.asarray(mom_mask, dtype),
+                                  geom, views, family, quad,
+                                  dtype, debias_chunk)
+            dmom = moment_match(proj_work, synth, geom.det_shape)
+            th = np.asarray(theta, np.float64)
+            if mask[0]:
+                th[:, 0] += dmom[:, 0]
+            if mask[2]:
+                th[:, 2] += dmom[:, 1]
+            th = np.clip(th, np.asarray(lo, np.float64),
+                         np.asarray(hi, np.float64))
+            theta = jnp.asarray(th, dtype)
+            views = Views.from_theta6(theta, cor=views.cor)
+            hb(f"outer {it}: moment match |dtx|={np.abs(dmom[:, 0]).mean():.2e} "
+               f"|dtz|={np.abs(dmom[:, 1]).mean():.2e}")
 
         if accel_period:
             th_hist.append(np.asarray(theta, np.float64))

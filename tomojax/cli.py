@@ -22,6 +22,30 @@ def _add_common(p):
     p.add_argument("--config", help="ExperimentConfig json", default=None)
     p.add_argument("--size", type=int, default=None, help="cubic volume size")
     p.add_argument("--views", type=int, default=None)
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.FIELD=VALUE",
+                   help="override any config field, e.g. "
+                        "--set align.family=slab --set solver.niter=40 "
+                        "(repeatable; typed from the dataclass default)")
+
+
+def _coerce(value: str, ref):
+    """Parse a --set VALUE string to the type of the dataclass default."""
+    import json as _json
+    if value.lower() in ("none", "null"):
+        return None
+    if isinstance(ref, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    for t in (int, float):
+        if isinstance(ref, t):
+            return t(value)
+    if isinstance(ref, (tuple, list)) or ref is None:
+        try:
+            v = _json.loads(value)
+            return tuple(v) if isinstance(v, list) else v
+        except _json.JSONDecodeError:
+            return value
+    return value
 
 
 def _load_config(args):
@@ -34,6 +58,15 @@ def _load_config(args):
         cfg.geometry.det_shape = (n, n)
     if args.views:
         cfg.geometry.n_proj = args.views
+    for ov in getattr(args, "overrides", []):
+        key, _, value = ov.partition("=")
+        section, _, field = key.partition(".")
+        if not (value and field and hasattr(cfg, section)):
+            sys.exit(f"--set wants SECTION.FIELD=VALUE; got {ov!r}")
+        sec = getattr(cfg, section)
+        if not hasattr(sec, field):
+            sys.exit(f"unknown config field {key!r}")
+        setattr(sec, field, _coerce(value, getattr(sec, field)))
     return cfg
 
 
@@ -84,7 +117,13 @@ def cmd_simulate(args):
                             cfg.simulate.max_shift_px, n_proj)
 
     views = Views.create(n_proj, phi=phi, alpha=alpha, beta=beta, t=xyz)
-    proj = projector.project(jnp.asarray(vol), geom, views)
+    fam = cfg.simulate.family
+    if fam in ("slab", "slab_plane"):
+        from tomojax.core import slab_projector as sp
+        proj = sp.project(jnp.asarray(vol), geom, views,
+                          quad="arc" if fam == "slab" else "plane")
+    else:
+        proj = projector.project(jnp.asarray(vol), geom, views)
     io.save_dataset(args.output, projections=np.asarray(proj).reshape(
         n_proj, *geom.det_shape), phi=phi, alpha=alpha, beta=beta, xyz=xyz,
         phantom=vol)
@@ -110,6 +149,34 @@ def cmd_reconstruct(args):
                     det_shape=(nu, nv))
     views = io.views_from_dataset(d)
     b = jnp.asarray(d["projections"].reshape(n_proj, -1))
+
+    if getattr(args, "pre_align", "none") != "none":
+        # BASELINE config 3 flow: consistency pre-alignment then recon,
+        # no joint refinement (reference: FFT cross-correlation chain;
+        # here the drift-free COM variant, align/cc.py)
+        from tomojax.core.geometry import Views as _V
+        from tomojax.align import com_align, cross_correlation_chain
+        proj3 = jnp.asarray(d["projections"], jnp.float32)
+        if args.pre_align == "com":
+            est = np.asarray(com_align(proj3, geom, d["phi"]))
+        else:
+            offsets, _ = cross_correlation_chain(proj3)
+            # chain offsets are cumulative content displacements (u, v) =
+            # (tx, tz); remove the per-axis mean (volume-shift gauge)
+            est = np.asarray(offsets)
+            est -= est.mean(axis=0, keepdims=True)
+        t0 = np.zeros((n_proj, 3), np.float32)
+        t0[:, 0] = est[:, 0]
+        t0[:, 2] = est[:, 1]
+        # pre-alignment estimates SHIFTS; tilt jitter stays unknown (the
+        # reference's pre-align stage likewise only corrects shifts)
+        views = _V.create(n_proj, phi=d["phi"], t=t0)
+        if "xyz" in d:
+            ex = np.abs(t0[:, 0] - d["xyz"][:, 0])
+            ez = np.abs(t0[:, 2] - d["xyz"][:, 2])
+            print(f"pre-align ({args.pre_align}) residual: "
+                  f"tx {ex.mean():.3f}/{ex.max():.3f} px "
+                  f"tz {ez.mean():.3f}/{ez.max():.3f} px (mean/max)")
 
     if args.shard and len(jax.devices()) > 1:
         from tomojax.dist import make_mesh, make_sharded_operator
@@ -186,12 +253,19 @@ def cmd_align(args):
                           -np.inf, -a.bound_angle, -a.bound_angle],
                          np.float32)
     bounds_hi = -bounds_lo
+    # ground-truth rms tracking is only wired through the generic-operator
+    # solver path; the cached scalar-argument slab program skips it
+    gt_arg = None if a.family in ("slab", "slab_plane") else gt
     state = align_reconstruct(
         proj.reshape(n_proj, -1), geom, views0, outer_iters=a.outer_iters,
         recon=a.recon, recon_iters=a.recon_iters, positivity=a.positivity,
         param_set=a.param_set, refine_iters=a.refine_iters,
-        bounds=(bounds_lo, bounds_hi), ground_truth=gt,
-        checkpoint_dir=a.checkpoint_dir, verbose=True)
+        family=a.family, refine_method=a.refine_method,
+        recon_chunk=a.recon_chunk, refine_chunk=a.refine_chunk,
+        accel_period=a.accel_period, moment_period=a.moment_period,
+        debias_period=a.debias_period,
+        bounds=(bounds_lo, bounds_hi), ground_truth=gt_arg,
+        checkpoint_dir=a.checkpoint_dir, verbose=True, progress=True)
 
     io.save_volume(args.output, state.volume)
     # report recovered vs true parameters when ground truth present
@@ -246,6 +320,10 @@ def main(argv=None):
     p.add_argument("--output", "-o", required=True)
     p.add_argument("--shard", action="store_true",
                    help="angle-shard over all devices")
+    p.add_argument("--pre-align", default="none",
+                   choices=["none", "com", "cc"],
+                   help="shift pre-alignment before reconstruction "
+                        "(BASELINE config 3: com + cgls)")
     p.add_argument("--vox-shape", default=None,
                    help="volume shape 'nx,ny,nz' (required for phantom-free "
                         "datasets with non-cubic volumes)")

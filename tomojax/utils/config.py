@@ -53,6 +53,15 @@ class AlignConfig:
     bound_angle: float = 0.02     # ±rad
     pre_align_cc: bool = False    # FFT cross-correlation pre-alignment
     checkpoint_dir: Optional[str] = None
+    # production-scale knobs (see align.pipeline.align_reconstruct)
+    family: str = "ray"           # recon family: ray | fast | voxel |
+    #                               slab | slab_plane
+    refine_method: str = "lm"     # lm | lm_slab | gd_fast
+    recon_chunk: Optional[int] = None    # solver iters per device program
+    refine_chunk: Optional[int] = None   # views per refinement program
+    accel_period: Optional[int] = None   # Aitken-accelerate every N outers
+    moment_period: Optional[int] = 1     # COM moment-match every N outers
+    debias_period: Optional[int] = None  # exact-family defect correction
 
 
 @dataclasses.dataclass
@@ -61,6 +70,9 @@ class SimulateConfig:
     seed: int = 0
     max_shift_px: float = 2.0     # reference generate_data.py:22-23
     max_angle_deg: float = 1.0    # reference generate_data.py:17-18
+    family: str = "ray"           # data-generating projector family
+    #                               (slab_plane for >=256^3 — the exact
+    #                               family takes hours there)
 
 
 @dataclasses.dataclass
