@@ -573,3 +573,32 @@ def test_align_reconstruct_moment_hook_kills_constant_tx():
     err_on, err_off = gc_err(on), gc_err(off)
     assert err_on < 0.06, (err_on, err_off)
     assert err_on < 0.5 * err_off, (err_on, err_off)
+
+
+def test_moment_gauge_projection():
+    """_project_out_gauge removes exactly the rigid-gauge component of a
+    moment correction (tx: {cos phi, sin phi} volume shift; tz: {const}
+    volume z-shift) and passes every orthogonal signal through untouched
+    (incl. the constant-tx COR mode, which is observable)."""
+    from tomojax.align.pipeline import _project_out_gauge
+    rng = np.random.default_rng(3)
+    n = 40
+    phi = np.linspace(0, np.pi, n, endpoint=False)
+    gauge = np.stack([0.7 * np.cos(phi) - 0.4 * np.sin(phi),
+                      np.full(n, 0.9)], 1)
+    out = _project_out_gauge(gauge, phi)
+    assert np.abs(out).max() < 1e-12, out
+
+    sig = np.stack([0.3 + 0.2 * np.cos(2 * phi), 0.1 * np.sin(phi)], 1)
+    out = _project_out_gauge(sig + gauge, phi)
+    # gauge-invariant: adding any gauge component changes nothing
+    np.testing.assert_allclose(out, _project_out_gauge(sig, phi),
+                               atol=1e-12)
+    # the output carries no gauge component itself
+    A = np.stack([np.cos(phi), np.sin(phi)], 1)
+    assert np.abs(A.T @ out[:, 0]).max() < 1e-10
+    assert abs(out[:, 1].mean()) < 1e-12
+    # and the non-gauge content survives (cos 2phi has most of its energy
+    # outside span{cos, sin, 1} even on the half-circle grid)
+    assert np.linalg.norm(out[:, 0]) > 0.5 * np.linalg.norm(
+        sig[:, 0] - sig[:, 0].mean())
