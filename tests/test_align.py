@@ -602,3 +602,38 @@ def test_moment_gauge_projection():
     # outside span{cos, sin, 1} even on the half-circle grid)
     assert np.linalg.norm(out[:, 0]) > 0.5 * np.linalg.norm(
         sig[:, 0] - sig[:, 0].mean())
+
+
+def test_support_mask_covers_object_excludes_corners():
+    """_support_mask estimates the object's projected half-widths from the
+    sinogram (shift-invariant widths) and builds a cylinder that (a) keeps
+    every object voxel — clipping the object's shell de-cancels the
+    measured data's detector-edge truncation and biases the moment hook
+    by the truncated moments (the round-2/3 2e-3 px tx plateau;
+    scripts/hook_probe.py) — and (b) excludes the volume corners where a
+    reconstruction absorbs the moment signal (unmasked hook recovery 0.30
+    at 64^3; scripts/hook_probe2.py)."""
+    from tomojax.align.pipeline import _support_mask
+    n, n_proj = 32, 16
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = np.asarray(phantom.shepp3d(n), np.float32)
+    rng = np.random.default_rng(0)
+    phi = np.linspace(0, np.pi, n_proj, endpoint=False)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-1.5, 1.5, n_proj)
+    t[:, 2] = rng.uniform(-1.5, 1.5, n_proj)
+    views = Views.create(n_proj, phi=phi, t=t)
+    meas = projector.project(jnp.asarray(vol), geom, views)
+
+    m = _support_mask(geom, np.asarray(meas))
+    # (a) the object's support is fully inside the mask
+    assert float(np.abs(vol * (1.0 - np.asarray(m))).max()) == 0.0
+    # (b) the x-y corners are excluded (radius ~ sqrt(2)*n/2 >> support)
+    assert float(np.asarray(m)[0, 0, n // 2]) == 0.0
+    assert float(np.asarray(m)[-1, -1, n // 2]) == 0.0
+    # mask radius is close to the true projected radius (~0.92*n/2):
+    # row of the mask through the center
+    row = np.asarray(m)[:, n // 2, n // 2]
+    r_est = np.abs(np.where(row > 0)[0] - (n - 1) / 2.0).max()
+    r_true = 0.92 * n / 2.0
+    assert r_true <= r_est <= r_true + 4.0, (r_est, r_true)

@@ -97,15 +97,7 @@ def _exact_forward(volume, geom: Geometry, views: Views, dtype,
 def _fov_mask(geom: Geometry, margin_u: float, margin_v: float):
     """In-FOV support mask: voxels whose trilinear footprint projects onto
     the detector for EVERY view (x–y radius within the detector half-width
-    minus margin; |z| within the v half-height minus margin).
-
-    The moment identity u_com(P(θ) y) = [R⁻¹ c(y)]_u − tx holds for any
-    volume y whose support projects on-detector at every view.  A
-    reconstruction absorbs coherent misalignment partly as corner/edge
-    mass *outside* this cylinder (seen only by some views — exactly what
-    breaks the identity), so the moment hook projects a masked copy.
-    Masking is gauge-exact: it changes c(y) (a {cosφ, sinφ} / {const}
-    gauge term), never the −t term."""
+    minus margin; |z| within the v half-height minus margin)."""
     nx, ny, nz = geom.vox_shape
     nu, nv = geom.det_shape
     x = np.arange(nx, dtype=np.float64) - (nx - 1) / 2.0
@@ -114,6 +106,58 @@ def _fov_mask(geom: Geometry, margin_u: float, margin_v: float):
     r2 = x[:, None] ** 2 + y[None, :] ** 2
     ru = max(nu / 2.0 - margin_u, 1.0)
     rv = max(nv / 2.0 - margin_v, 1.0)
+    m = (r2 <= ru * ru)[:, :, None] & (np.abs(z) <= rv)[None, None, :]
+    return m
+
+
+def _support_mask(geom: Geometry, projections, margin: float = 1.5,
+                  thresh_rel: float = 1e-3):
+    """Object-support mask for the moment hook, estimated FROM THE DATA.
+
+    The moment identity u_com(P(θ) y) = [R⁻¹ c(y)]_u − tx needs y's mass
+    to stay on-detector at every view — a reconstruction absorbs coherent
+    misalignment partly as mass in the volume's *corners* (radius up to
+    √2·n/2, seen by only some views), which soaks up exactly the moment
+    signal the hook measures (measured at 64³: unmasked hook recovery
+    0.30 of an injected smooth tx perturbation, ``scripts/hook_probe.py``).
+    But a mask that clips the OBJECT's own support is worse: the measured
+    data's detector-edge truncation then no longer cancels differentially
+    against the synth's identical clipping, leaving a smooth-in-φ bias the
+    size of the truncated moments (2.0e-3 px rms at 64³/±2 px — precisely
+    the observed tx plateau).  The mask must therefore sit just OUTSIDE
+    the object support and well inside the corner radius; both recovery
+    (0.97–0.99) and bias (6e-4, decaying with recon depth) are insensitive
+    to the exact radius in that window (``scripts/hook_probe2.py``).
+
+    The support half-widths come from the sinogram itself: the per-view
+    mass-bearing u/v width is shift-invariant (content moves rigidly by
+    −t), so ``max_views(width/2) + margin`` bounds the object's projected
+    radius with no knowledge of t or the ground truth.
+
+    :returns: float32 mask ``vox_shape`` (cylinder in x–y, slab in z).
+    """
+    nu, nv = geom.det_shape
+    p = np.abs(np.asarray(projections, np.float64)).reshape(-1, nu, nv)
+    pu = p.sum(axis=2)   # (n_proj, nu) mass per u-column
+    pv = p.sum(axis=1)
+    ru = rv = 1.0
+    for prof, nn in ((pu, nu), (pv, nv)):
+        t = thresh_rel * prof.max(axis=1, keepdims=True)
+        on = prof > t
+        idx = np.arange(nn, dtype=np.float64)
+        c = (nn - 1) / 2.0
+        # widest half-extent over views (shift-invariant width / 2)
+        w = np.array([(idx[row].max() - idx[row].min()) / 2.0
+                      if row.any() else 0.0 for row in on])
+        if prof is pu:
+            ru = float(w.max()) + margin
+        else:
+            rv = float(w.max()) + margin
+    nx, ny, nz = geom.vox_shape
+    x = np.arange(nx, dtype=np.float64) - (nx - 1) / 2.0
+    y = np.arange(ny, dtype=np.float64) - (ny - 1) / 2.0
+    z = np.arange(nz, dtype=np.float64) - (nz - 1) / 2.0
+    r2 = x[:, None] ** 2 + y[None, :] ** 2
     m = (r2 <= ru * ru)[:, :, None] & (np.abs(z) <= rv)[None, None, :]
     return m
 
@@ -342,6 +386,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
 
     proj_work = projections   # debias stage re-centers this (see below)
     defect_done = -1          # outer index of the last defect recompute
+    mom_mask = None           # lazy data-driven moment-hook support mask
 
     for it in range(start_iter, outer_iters):
         if (debias_period and family in ("slab", "slab_plane")
@@ -555,18 +600,16 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             # the coherent/smooth tx drift mode the per-view refinement
             # cannot see (see align.cc.moment_match). One forward apply.
             from tomojax.align.cc import moment_match
-            # mask to the all-views-in-FOV cylinder so the reprojection's
-            # first moments are RIGID in (tx, tz) — corner/edge recon mass
-            # is seen by only some views and would soften the constraint
-            # (margin: current |t̂| + tilt slop + trilinear support)
-            t_np = np.abs(np.asarray(views.t, np.float64))
-            tilt = float(np.max(np.abs(np.asarray(
-                jnp.stack([views.alpha, views.beta]), np.float64)))) \
-                if geom.n_proj else 0.0
-            slop = tilt * max(geom.det_shape) / 2.0 + 2.0
-            mom_mask = _fov_mask(geom, float(t_np[:, 0].max()) + slop,
-                                 float(t_np[:, 2].max()) + slop)
-            synth = _family_synth(volume * jnp.asarray(mom_mask, dtype),
+            # mask to the data-estimated object support: blocks the
+            # corner-mass absorption that hides the moment signal while
+            # keeping the object's own shell so detector-edge truncation
+            # cancels differentially (see _support_mask; the former
+            # FOV-margin mask clipped the object and carried a 2e-3 px
+            # smooth bias — the round-2/3 tx plateau)
+            if mom_mask is None:
+                mom_mask = jnp.asarray(
+                    _support_mask(geom, np.asarray(projections)), dtype)
+            synth = _family_synth(volume * mom_mask,
                                   geom, views, family, quad,
                                   dtype, debias_chunk)
             dmom = moment_match(proj_work, synth, geom.det_shape)
