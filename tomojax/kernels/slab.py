@@ -31,12 +31,13 @@ TPU mapping (constraints probed on v5e Mosaic):
   branch — 9.3× the MXU flops of this formulation in arc mode).
 - pass B (x-interp, |slope| up to ~1.7): banded one-hot selection matmul
   on the MXU, built once per view (forward) / per step (adjoint). Window
-  anchors are 8-aligned by construction (dynamic sublane slices must be)
-  and the 0..7 anchor residual is folded into 7 extra selection bands
-  (NBBW = NBB + 7) so the selection is indexed statically — a
-  traced-index read would copy the selection matrix per use. UCH = 64 /
-  WINB = 128 halve the selection flops vs round 2 (K = 128 is the MXU
-  contraction floor, so a smaller window costs nothing extra).
+  anchors are 8-aligned by construction (dynamic sublane slices must be);
+  the 0..7 anchor residual selects one of 8 pre-built (NBB*UCH, WINB)
+  selection blocks by an 8-aligned dynamic sublane slice (round 3b; the
+  earlier fold of the residual into 7 EXTRA bands cost 15/8 of the
+  matmul + band-combine work). UCH = 64 / WINB = 128 halve the selection
+  flops vs round 2 (K = 128 is the MXU contraction floor, so a smaller
+  window costs nothing extra).
 - selection is exact in bf16 (0/1); f32 operands are split hi/lo into two
   bf16 MXU passes (~4e-6 faithful).
 - per-element hat weights, the fy slab-pair blend, and march-range masks
@@ -80,17 +81,17 @@ XPH = 128          # x pad above (windows anchor at their bottom and
 #                    ~|eux|*UCH+NBB of that, the rest reads zero pad)
 UCH = 64           # u-chunk (pass-B matmul LHS granularity)
 VCH = 128          # v-chunk (pass-B weight-tile lanes)
-NBB = 8            # pass-B logical bands (interval width)
-NBBW = NBB + 7     # stored bands: the 8-aligned anchor residual is
-#                    folded into 7 extra bands so the selection matrix
-#                    is indexed statically (a traced-index read of the
-#                    selection per use cost ~100us/slab)
+NBB = 8            # pass-B bands (interval width; m in (2-D, 6+D) for
+#                    the window-bound D < 2, so 0..7 covers with margin).
+#                    The 8-aligned anchor residual picks one of 8
+#                    pre-built selection blocks (see _build_selection) —
+#                    NOT extra bands (that cost 15/8 flops, round <=3a)
 XCH_A = 64         # pass-A align-matmul x-chunk rows
 MBA = 7            # pass-A interpolation bands (taps 2 + frac + chunk gzx
 #                    drift + both branches' edz dev + zav drift)
 NVA_PAD = 128      # aligned-frame extra lanes beyond nv (>= MBA - 1,
 #                    rounded to the 128-lane tile)
-WINB = 128         # pass-B T-row window (holds 8 + |eux|*(UCH-1) + NBBW)
+WINB = 128         # pass-B T-row window (holds 8 + |eux|*(UCH-1) + NBB + 7)
 NS = 21            # scalar count
 
 (S_EDY, S_EDX, S_EDZ, S_RX, S_RZ, S_EUX, S_EVX, S_EVZ, S_CXB, S_CZB,
@@ -99,15 +100,27 @@ NS = 21            # scalar count
 
 
 def _build_selection(eux):
-    """(NBBW*UCH, WINB) one-hots: taps ``k0(du) + m`` for the 8-aligned
-    window anchor (band m covers both the logical NBB interval and the
-    0..7 anchor residual)."""
-    col = lax.broadcasted_iota(jnp.int32, (NBBW * UCH, WINB), 1)
-    row = lax.broadcasted_iota(jnp.int32, (NBBW * UCH, WINB), 0)
+    """(8*NBB*UCH, WINB) one-hots: 8 stacked (NBB*UCH, WINB) selection
+    blocks, one per 8-aligned window-anchor residual ``a`` in 0..7; block
+    ``a`` row (m, du) selects tap ``k0(du) + m + a``.
+
+    Round-3b rework: the residual used to be folded into 7 EXTRA bands
+    (NBBW = NBB + 7 = 15) on one shared selection — 15/8 of the matmul
+    flops and band-combine work were wasted on bands whose hat weight is
+    zero for the tile's actual residual.  Pre-building the 8 residual
+    variants and slicing the right block per tile (the 512-row block
+    offset is 8-aligned, so Mosaic's dynamic sublane-slice rule is
+    satisfied) keeps the selection statically indexed at NBB = 8 bands —
+    a 15/8 MXU + VPU cut on pass B, the kernel's dominant cost
+    (docs/STATUS.md round-3 trace: ~52% MXU-bound on this matmul)."""
+    rows = 8 * NBB * UCH
+    col = lax.broadcasted_iota(jnp.int32, (rows, WINB), 1)
+    row = lax.broadcasted_iota(jnp.int32, (rows, WINB), 0)
     du = (row % UCH).astype(jnp.float32)
-    m = row // UCH
+    m = (row // UCH) % NBB
+    a = row // (NBB * UCH)
     k0 = jnp.floor(eux * du).astype(jnp.int32)
-    return (col == k0 + m).astype(jnp.bfloat16)
+    return (col == k0 + m + a).astype(jnp.bfloat16)
 
 
 def _hat(d):
@@ -228,14 +241,18 @@ def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
     T pad covers every anchor a chunk with in-volume samples can need
     (xc > -(eux*(UCH-1) + slack) > -XP). The clip therefore only moves
     anchors of chunks with NO in-volume taps — those are gated off by
-    ``relevant`` (which also skips their matmuls entirely)."""
+    ``relevant`` (which also skips their matmuls entirely).
+
+    Returns ``(w8, a, relevant)``: the 8-aligned window start, and the
+    anchor residual ``a = wtp - w8`` in 0..7 selecting the pre-built
+    selection block (see :func:`_build_selection`)."""
     xc = cx_r + u0 * p.eux + (v0 + VCH / 2.0) * p.evx \
         + (p.edx * (float(b) + 0.5) if arc else 0.0)
     relevant = (xc > -(p.eux * (UCH - 1) + 8.0)) & (xc < nx + 8.0)
     wtp = jnp.floor(xc).astype(jnp.int32) - 3 + XP
     wtp = jnp.clip(wtp, 0, nx + XP + XPH - WINB)
     w8 = pl.multiple_of((wtp // 8) * 8, 8)
-    return w8, relevant
+    return w8, wtp - w8, relevant
 
 
 def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
@@ -323,14 +340,17 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                     u0 = float(uc * UCH)
                     for vc in range(nv // VCH):
                         v0 = float(vc * VCH)
-                        w8, rel = _window_anchor(p, u0, v0, b, cx_r,
-                                                 nx, arc)
+                        w8, a_res, rel = _window_anchor(p, u0, v0, b,
+                                                        cx_r, nx, arc)
 
                         @pl.when(rel)
-                        def _(u0=u0, v0=v0, b=b, uc=uc, vc=vc, w8=w8):
+                        def _(u0=u0, v0=v0, b=b, uc=uc, vc=vc, w8=w8,
+                              a_res=a_res):
                             X, fy, ok, j_t = _pass_b_tiles(
                                 p, u0, v0, r, b, cx_r, n_steps, arc)
-                            sel = s_ref[...]
+                            sel = s_ref[pl.ds(
+                                pl.multiple_of(a_res * (NBB * UCH), 8),
+                                NBB * UCH), :]
                             dims = (((1,), (0,)), ((), ()))
                             bands = []
                             for s in range(n_sides):
@@ -345,9 +365,9 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                             du_t = lax.broadcasted_iota(
                                 jnp.int32, (UCH, VCH), 0).astype(f32)
                             k0 = jnp.floor(p.eux * du_t)
-                            base_x = (w8 - XP).astype(f32)
+                            base_x = (w8 + a_res - XP).astype(f32)
                             acc = jnp.zeros((UCH, VCH), f32)
-                            for m in range(NBBW):
+                            for m in range(NBB):
                                 wgt = hat_b(X - (base_x + k0 + float(m)))
                                 s0 = bands[0][m * UCH:(m + 1) * UCH, :]
                                 if arc and deriv == "y":
@@ -421,12 +441,12 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
                         u0 = float(uc * UCH)
                         for vc in range(nv // VCH):
                             v0 = float(vc * VCH)
-                            w8, rel = _window_anchor(p, u0, v0, b,
-                                                     cx_r, nx, arc)
+                            w8, a_res, rel = _window_anchor(
+                                p, u0, v0, b, cx_r, nx, arc)
 
                             @pl.when(rel)
                             def _(u0=u0, v0=v0, b=b, side=side, uc=uc,
-                                  vc=vc, w8=w8):
+                                  vc=vc, w8=w8, a_res=a_res):
                                 X, fy, ok, _jt = _pass_b_tiles(
                                     p, u0, v0, r, b, cx_r, n_steps, arc)
                                 sw = ((fy if side == 1 else 1.0 - fy)
@@ -438,15 +458,19 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
                                 du_t = lax.broadcasted_iota(
                                     jnp.int32, (UCH, VCH), 0).astype(f32)
                                 k0 = jnp.floor(p.eux * du_t)
-                                base_x = (w8 - XP).astype(f32)
+                                base_x = (w8 + a_res - XP).astype(f32)
                                 ctg = []
-                                for m in range(NBBW):
+                                for m in range(NBB):
                                     wgt = _hat(X - (base_x + k0
                                                     + float(m)))
                                     ctg.append(wgt * gg)
                                 ctg = jnp.concatenate(ctg, axis=0)
                                 chi, clo = _split16(ctg)
-                                tbar = _dot16(s_ref[...], chi, clo,
+                                sel = s_ref[pl.ds(
+                                    pl.multiple_of(
+                                        a_res * (NBB * UCH), 8),
+                                    NBB * UCH), :]
+                                tbar = _dot16(sel, chi, clo,
                                               (((0,), (0,)), ((), ())))
                                 tbar_ref[pl.ds(w8, WINB),
                                          vc * VCH:(vc + 1) * VCH] += tbar
@@ -630,7 +654,7 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((V, nu, nv), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NBBW * UCH, WINB), jnp.bfloat16),
+            pltpu.VMEM((8 * NBB * UCH, WINB), jnp.bfloat16),
             pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
             pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
             pltpu.VMEM((2, nx, nv + NVA_PAD), jnp.float32),
@@ -680,7 +704,7 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, K, nx, NZP), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NBBW * UCH, WINB), jnp.bfloat16),
+            pltpu.VMEM((8 * NBB * UCH, WINB), jnp.bfloat16),
             pltpu.VMEM((NXPS, nv), jnp.float32),
             pltpu.VMEM((nx, nv + NVA_PAD), jnp.float32),
         ],
