@@ -630,7 +630,11 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             th_hist.append(np.asarray(theta, np.float64))
             if len(th_hist) > 3:
                 th_hist.pop(0)
-            if len(th_hist) == 3 and (it - last_jump) >= accel_period:
+            # never extrapolate on the final outer: the jump is only safe
+            # because the NEXT refinement accepts/rejects it against the
+            # true cost — a last-outer jump would be recorded unverified
+            if (len(th_hist) == 3 and (it - last_jump) >= accel_period
+                    and it < outer_iters - 1):
                 lo_np, hi_np = np.asarray(lo, np.float64), \
                     np.asarray(hi, np.float64)
                 th_acc = aitken_extrapolate(*th_hist, lo_np, hi_np, mask)
