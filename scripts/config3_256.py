@@ -150,9 +150,16 @@ def main():
 
     t_com = np.zeros((n_proj, 3), np.float32)
     t_com[:, 0], t_com[:, 2] = est[:, 0], est[:, 1]
+    # CC-chain estimates: the reference's own pre-alignment
+    # (`align_cc.py:27-38` feeding recon) — offsets are relative to view
+    # 0; remove the mean (a pure gauge/COR component) before use
+    t_cc = np.zeros((n_proj, 3), np.float32)
+    t_cc[:, 0] = offsets[:, 0] - offsets[:, 0].mean()
+    t_cc[:, 2] = offsets[:, 1] - offsets[:, 1].mean()
     rec["stages"]["cgls_misaligned"] = run_cgls(np.zeros((n_proj, 3)),
                                                 "mis")
     rec["stages"]["cgls_com"] = run_cgls(t_com, "com")
+    rec["stages"]["cgls_cc"] = run_cgls(t_cc, "cc")
     rec["stages"]["cgls_true"] = run_cgls(t_true, "true")
 
     rec["total_wall_s"] = time.perf_counter() - t0
