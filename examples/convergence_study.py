@@ -116,6 +116,13 @@ def main():
                          "semi-convergence)")
     ap.add_argument("--recon-iters-polish", type=int, default=120)
     ap.add_argument("--refine-iters-polish", type=int, default=40)
+    ap.add_argument("--outers-cv", type=int, default=0,
+                    help="final cross-validated stage: refine each view "
+                         "against a reconstruction built WITHOUT its own "
+                         "data (split-half) — removes the recon's "
+                         "self-absorption bias, the tx/tz fixed-point "
+                         "floor of the plain alternation (see "
+                         "pipeline.align_reconstruct_cv)")
     ap.add_argument("--outers-debias", type=int, default=0,
                     help="final defect-correction stage: slab solver on "
                          "exact-family-recentered data (removes the "
@@ -314,6 +321,17 @@ def main():
             moment_period=args.moment_period or None,
             checkpoint_dir=stage_ckpt("polish"),
             volume0=state.volume, callback=cb("polish"))
+    if args.outers_cv > 0:
+        from tomojax.align.pipeline import align_reconstruct_cv
+        state = align_reconstruct_cv(
+            proj_meas, geom, state.views, outer_iters=args.outers_cv,
+            recon=args.recon, recon_iters=args.recon_iters_polish,
+            recon_chunk=args.recon_chunk,
+            param_set=args.param_set,
+            refine_iters=args.refine_iters_polish,
+            moment_period=args.moment_period or None,
+            checkpoint_dir=stage_ckpt("cv"),
+            volume0=state.volume, progress=True, callback=cb("cv"))
     if args.outers_debias > 0:
         # defect-correction stage: slab-family solver/refiner against
         # exact-family-recentered data — removes the slab<->exact operator

@@ -676,6 +676,216 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       history=history)
 
 
+def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
+                         outer_iters: int = 10, recon: str = "cgls",
+                         recon_iters: int = 120,
+                         recon_chunk: int | None = None,
+                         param_set: str = "xzab",
+                         refine_iters: int = 40,
+                         moment_period: int | None = 1,
+                         bounds=None, theta_ref: Views | None = None,
+                         dtype=jnp.float32,
+                         volume0=None,
+                         checkpoint_dir: str | None = None,
+                         resume: bool = True,
+                         progress: bool = False,
+                         callback=None) -> AlignState:
+    """Cross-validated alternation: refine each view against a
+    reconstruction built WITHOUT that view's data.
+
+    The plain alternation (:func:`align_reconstruct`) converges to a
+    self-consistent fixed point in which the reconstruction has absorbed
+    part of every view's residual misalignment — each view's refinement
+    is then biased by the recon's fit to its *own* error, and deeper
+    recon/refinement cannot move the pair (measured at 64³/90 views:
+    tx/tz gauge-corrected means stationary at 1.0–1.5e-4 px across 60
+    deep-polish outers while LM against the TRUE volume floors at ~4e-6,
+    ``docs/convergence/c64_closing.json``, ``scripts/c64_floor.py``).
+
+    This driver breaks the loop by split-half cross-validation, the
+    estimator analog of out-of-fold prediction: views are split into
+    interleaved halves A/B (each still covering the angular range
+    uniformly); per outer each half is reconstructed from its own data
+    only (warm-started across outers), then each half's views are
+    refined — and moment-matched — against the OTHER half's
+    reconstruction.  The recon a view is aligned to never saw that
+    view's data, so the self-absorption bias term vanishes; what
+    remains is the (half-)recon's view-independent error, which acts as
+    noise, not as a fixed-point bias.  The reference has no counterpart
+    (its protocol stops at ~1e-2-px accuracy after 35 fixed outers,
+    ``examples/align_rigid.py:27``).
+
+    Slab production family only (the point of the stage is many deep
+    recon solves).  Returns the final state with ``volume`` the mean of
+    the two half-reconstructions (run one full deep recon afterwards
+    for a final volume).
+
+    :param theta_ref: views whose θ defines the center of the bound box
+        (default ``views0``).
+    """
+    from tomojax.core import slab_projector as sp
+    from tomojax.align.slab_refine import refine_views_slab
+    from tomojax.align.cc import moment_match
+
+    projections = jnp.asarray(projections, dtype).reshape(geom.n_proj, -1)
+    mask = PARAM_SETS[param_set]
+    if bounds is None:
+        lo_off, hi_off = _default_bounds(dtype)
+    else:
+        lo_off, hi_off = (jnp.asarray(bounds[0], dtype),
+                          jnp.asarray(bounds[1], dtype))
+    theta_init = (theta_ref if theta_ref is not None
+                  else views0).theta6().astype(dtype)
+    lo_all = theta_init + lo_off
+    hi_all = theta_init + hi_off
+
+    n = geom.n_proj
+    halves = [np.arange(0, n, 2), np.arange(1, n, 2)]
+    geoms = [dataclasses.replace(geom, n_proj=len(ix)) for ix in halves]
+    quad = "arc"
+
+    views = views0
+    vols = [None, None]   # per-half warm-started reconstructions
+    if volume0 is not None:
+        v0 = jnp.asarray(volume0, dtype).reshape(geom.vox_shape)
+        vols = [v0, v0]
+    history = {"recon_rms": [], "refine_cost": []}
+    start_iter = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if resume:
+            ckpts = sorted(f for f in os.listdir(checkpoint_dir)
+                           if f.startswith("cv_ckpt_"))
+            if ckpts:
+                z = np.load(os.path.join(checkpoint_dir, ckpts[-1]))
+                views = Views(phi=jnp.asarray(z["phi"]),
+                              alpha=jnp.asarray(z["alpha"]),
+                              beta=jnp.asarray(z["beta"]),
+                              t=jnp.asarray(z["t"]),
+                              cor=jnp.asarray(z["cor"]))
+                vols = [jnp.asarray(z["vol_a"], dtype),
+                        jnp.asarray(z["vol_b"], dtype)]
+                history = {"recon_rms": list(z["recon_rms"]),
+                           "refine_cost": list(z["refine_cost"])}
+                start_iter = int(z["iteration"]) + 1
+
+    gstructs = [None, None]   # frozen per-half octant groups (solver)
+    rgroups = [None, None]    # frozen per-half groups (refinement)
+    mom_mask = None
+    t_hb = time.perf_counter()
+
+    def hb(msg):
+        if progress:
+            print(f"[cv] {msg} (t={time.perf_counter() - t_hb:.0f}s)",
+                  flush=True)
+
+    for it in range(start_iter, outer_iters):
+        # 1) per-half reconstructions from that half's data only
+        rms_halves = []
+        for h in (0, 1):
+            ix, gh = halves[h], geoms[h]
+            sub = jax.tree.map(lambda a: a[ix], views)
+            res = (sp.group_scalars_for(gh, sub, gstructs[h], quad, dtype)
+                   if gstructs[h] is not None else None)
+            if res is None:
+                gstructs[h], scalars = sp.scalar_groups(gh, sub, quad,
+                                                        dtype)
+            else:
+                gstructs[h], scalars = res
+            x = (jnp.zeros(geom.vox_shape, dtype) if vols[h] is None
+                 else vols[h])
+            done = 0
+            chunk = recon_chunk or recon_iters
+            while done < recon_iters:
+                nit = min(chunk, recon_iters - done)
+                prog = _slab_recon_prog(gh, quad, recon, nit, False,
+                                        gstructs[h], jnp.dtype(dtype).name)
+                x, rms_arr, n_it = prog(x, projections[ix], scalars)
+                done += nit
+            vols[h] = x
+            rms_halves.append(
+                float(np.asarray(rms_arr)[max(0, int(n_it) - 1)]))
+            hb(f"outer {it}: recon half {h} ({len(ix)} views)")
+        history["recon_rms"].append(float(np.mean(rms_halves)))
+
+        # 2) refine each half against the OTHER half's reconstruction
+        theta = np.asarray(views.theta6(), np.float64)
+        cost_total = 0.0
+        refs = {}
+        for h in (0, 1):
+            ix = halves[h]
+            sub = jax.tree.map(lambda a: a[ix], views)
+            if rgroups[h] is None:
+                rgroups[h], _ = sp.scalar_groups(geoms[h], sub, quad,
+                                                 dtype)
+            ref = refine_views_slab(vols[1 - h], projections[ix],
+                                    geoms[h], sub, mask=mask,
+                                    lower=lo_all[ix], upper=hi_all[ix],
+                                    max_iter=refine_iters,
+                                    groups=rgroups[h], dtype=dtype)
+            theta[ix] = np.asarray(ref.theta6, np.float64)
+            cost_total += float(jnp.sum(ref.cost))
+            refs[h] = ref
+            hb(f"outer {it}: refine half {h} vs recon half {1 - h}")
+        history["refine_cost"].append(cost_total)
+        views = Views.from_theta6(jnp.asarray(theta, dtype),
+                                  cor=views.cor)
+
+        # 3) cross-validated moment hook: each half's (tx, tz) moment
+        #    error measured against the other half's reprojection
+        if moment_period and (mask[0] or mask[2]) \
+                and (it + 1) % moment_period == 0:
+            if mom_mask is None:
+                mom_mask = jnp.asarray(
+                    _support_mask(geom, np.asarray(projections)), dtype)
+            dmom = np.zeros((n, 2), np.float64)
+            for h in (0, 1):
+                ix = halves[h]
+                sub = jax.tree.map(lambda a: a[ix], views)
+                synth = sp.project(vols[1 - h] * mom_mask, geoms[h], sub,
+                                   quad=quad,
+                                   dtype=dtype).reshape(len(ix), -1)
+                dmom[ix] = np.asarray(moment_match(
+                    projections[ix], synth, geom.det_shape), np.float64)
+            dmom = _project_out_gauge(dmom, views.phi)
+            th = np.asarray(views.theta6(), np.float64)
+            if mask[0]:
+                th[:, 0] += dmom[:, 0]
+            if mask[2]:
+                th[:, 2] += dmom[:, 1]
+            th = np.clip(th, np.asarray(lo_all, np.float64),
+                         np.asarray(hi_all, np.float64))
+            views = Views.from_theta6(jnp.asarray(th, dtype),
+                                      cor=views.cor)
+            hb(f"outer {it}: cv moment |dtx|={np.abs(dmom[:, 0]).mean():.2e}"
+               f" |dtz|={np.abs(dmom[:, 1]).mean():.2e}")
+
+        volume = 0.5 * (vols[0] + vols[1])
+        if checkpoint_dir:
+            np.savez(os.path.join(checkpoint_dir, f"cv_ckpt_{it:04d}.npz"),
+                     phi=np.asarray(views.phi),
+                     alpha=np.asarray(views.alpha),
+                     beta=np.asarray(views.beta),
+                     t=np.asarray(views.t), cor=np.asarray(views.cor),
+                     vol_a=np.asarray(vols[0]), vol_b=np.asarray(vols[1]),
+                     iteration=it,
+                     recon_rms=np.asarray(history["recon_rms"]),
+                     refine_cost=np.asarray(history["refine_cost"]))
+        if callback is not None:
+            callback(it, views, volume, history)
+
+    residuals = jnp.zeros((n,), dtype)
+    if start_iter < outer_iters:
+        residuals = jnp.concatenate(
+            [refs[0].cost, refs[1].cost])[jnp.argsort(
+                jnp.concatenate([jnp.asarray(halves[0]),
+                                 jnp.asarray(halves[1])]))]
+    volume = 0.5 * (vols[0] + vols[1]) if vols[0] is not None else \
+        jnp.zeros(geom.vox_shape, dtype)
+    return AlignState(views=views, volume=volume, residuals=residuals,
+                      history=history)
+
+
 def save_checkpoint(path, *, views: Views, volume, history, iteration):
     """Portable npz checkpoint of (per-view θ, volume, metrics)."""
     np.savez(
