@@ -123,6 +123,12 @@ def main():
                          "self-absorption bias, the tx/tz fixed-point "
                          "floor of the plain alternation (see "
                          "pipeline.align_reconstruct_cv)")
+    ap.add_argument("--cv-folds", type=int, default=2,
+                    help="K for the CV stage: each view refined against "
+                         "a recon of the other K-1 folds (K=2 halves the "
+                         "recon data — underdetermined at 64^3/90v; "
+                         "K~10 keeps complement recons near full "
+                         "quality; pick K | n_views)")
     ap.add_argument("--outers-debias", type=int, default=0,
                     help="final defect-correction stage: slab solver on "
                          "exact-family-recentered data (removes the "
@@ -330,7 +336,7 @@ def main():
             param_set=args.param_set,
             refine_iters=args.refine_iters_polish,
             moment_period=args.moment_period or None,
-            checkpoint_dir=stage_ckpt("cv"),
+            checkpoint_dir=stage_ckpt("cv"), folds=args.cv_folds,
             volume0=state.volume, progress=True, callback=cb("cv"))
     if args.outers_debias > 0:
         # defect-correction stage: slab-family solver/refiner against

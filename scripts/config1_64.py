@@ -40,6 +40,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     import jax.numpy as jnp
     from tomojax.core.geometry import Geometry, Views
     from tomojax.core import phantom
@@ -69,26 +71,42 @@ def main():
         proj = op.A(vol)
         jax.block_until_ready(proj)
         gen_s = time.perf_counter() - t0
-
+        # warm pass: first call pays trace + (remote) compile; the
+        # steady-state number is what an outer-loop user sees
         t0 = time.perf_counter()
-        res = cgls(op, proj, niter=args.cgls_iters)
+        jax.block_until_ready(op.A(vol))
+        gen_warm_s = time.perf_counter() - t0
+
+        # one jitted program for the whole solve (retracing the eager
+        # while_loop costs ~0.4 s/iter of host work on the remote tunnel)
+        solve = jax.jit(lambda b: cgls(op, b, niter=args.cgls_iters))
+        t0 = time.perf_counter()
+        res = solve(proj)
         jax.block_until_ready(res.x)
         cgls_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = solve(proj * 1.0000001)
+        jax.block_until_ready(res.x)
+        cgls_warm_s = time.perf_counter() - t0
         rel = float(np.linalg.norm(np.asarray(res.x, np.float64).ravel()
                                    - np.asarray(vol, np.float64).ravel())
                     / np.linalg.norm(np.asarray(vol, np.float64)))
         rec["families"][fam] = {
             "gen_s": gen_s,
             "gen_proj_per_s": n_proj / gen_s,
+            "gen_warm_s": gen_warm_s,
+            "gen_warm_proj_per_s": n_proj / gen_warm_s,
             "cgls_s": cgls_s,
+            "cgls_warm_s": cgls_warm_s,
             "cgls_iters_run": int(np.asarray(res.n_iter)),
             "recon_rel_l2_vs_phantom": rel,
             "final_rms": float(np.asarray(
                 res.rms_error[int(np.asarray(res.n_iter)) - 1])),
         }
-        print(f"[{fam}] gen {gen_s:.2f}s ({n_proj/gen_s:.1f} proj/s), "
-              f"cgls({args.cgls_iters}) {cgls_s:.1f}s, rel-L2 {rel:.4f}",
-              flush=True)
+        print(f"[{fam}] gen {gen_s:.2f}s ({n_proj/gen_s:.1f} proj/s, warm "
+              f"{gen_warm_s:.2f}s = {n_proj/gen_warm_s:.1f} proj/s), "
+              f"cgls({args.cgls_iters}) {cgls_s:.1f}s (warm "
+              f"{cgls_warm_s:.1f}s), rel-L2 {rel:.4f}", flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

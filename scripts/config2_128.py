@@ -81,8 +81,10 @@ def main():
                      / np.linalg.norm(np.asarray(vol, np.float64)))
 
     def run(name, fn):
+        # whole solve as ONE jitted program: on the remote-TPU tunnel the
+        # eager path pays a per-call retrace + per-op dispatch round trips
         t0 = time.perf_counter()
-        res = fn()
+        res = jax.jit(fn)()
         jax.block_until_ready(res.x)
         wall = time.perf_counter() - t0
         k = int(np.asarray(res.n_iter))

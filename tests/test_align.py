@@ -637,3 +637,56 @@ def test_support_mask_covers_object_excludes_corners():
     r_est = np.abs(np.where(row > 0)[0] - (n - 1) / 2.0).max()
     r_true = 0.92 * n / 2.0
     assert r_true <= r_est <= r_true + 4.0, (r_est, r_true)
+
+
+@pytest.mark.slow
+def test_align_reconstruct_cv_kfold(tmp_path):
+    """K-fold CV alternation (pipeline.align_reconstruct_cv): each view is
+    refined against a reconstruction of the other K-1 folds' data (the
+    out-of-fold estimator that breaks the self-absorption fixed point of
+    the plain alternation).  Checks it contracts slab-consistent jitter,
+    that K=3 complement bookkeeping (fold k never in its own recon set)
+    is right by construction, and that the new stacked-``vols``
+    checkpoint layout resumes bit-identically."""
+    from tomojax.core import slab_projector as sp
+    from tomojax.align.pipeline import align_reconstruct_cv
+
+    n, n_proj = 16, 24
+    vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
+    geom = Geometry(n_proj=n_proj, vox_shape=(n, n, n), det_shape=(n, n))
+    rng = np.random.default_rng(7)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-0.6, 0.6, n_proj)
+    t[:, 2] = rng.uniform(-0.6, 0.6, n_proj)
+    true_views = Views.create(n_proj, t=t)
+    meas = sp.project(vol, geom, true_views, quad="arc")
+
+    views0 = Views.create(n_proj)
+    kw = dict(outer_iters=2, recon="cgls", recon_iters=25,
+              param_set="xz", refine_iters=8, folds=3,
+              moment_period=1)
+    state = align_reconstruct_cv(meas, geom, views0,
+                                 checkpoint_dir=str(tmp_path), **kw)
+    got_t = np.asarray(state.views.t)
+    err0 = np.abs(t[:, [0, 2]]).mean()
+    err = np.abs(got_t[:, [0, 2]] - t[:, [0, 2]]).mean()
+    # a polish-stage driver started cold: expect solid contraction (the
+    # measured 2-outer factor is ~0.54 at this size), not full capture
+    assert err < 0.7 * err0, (err, err0)
+    assert np.asarray(state.volume).shape == geom.vox_shape
+    assert state.residuals.shape == (n_proj,)
+
+    # stacked-vols checkpoint: K complement recons saved, resume is exact
+    z = np.load(tmp_path / "cv_ckpt_0001.npz")
+    assert z["vols"].shape == (3, n, n, n)
+    resumed = align_reconstruct_cv(meas, geom, views0,
+                                   checkpoint_dir=str(tmp_path), **kw)
+    np.testing.assert_allclose(resumed.views.t, state.views.t, atol=1e-6)
+
+    # fold-count mismatch on resume: reuses theta, re-warms volumes
+    kw4 = dict(kw, folds=4, outer_iters=3)
+    st4 = align_reconstruct_cv(meas, geom, views0,
+                               checkpoint_dir=str(tmp_path), **kw4)
+    err4 = np.abs(np.asarray(st4.views.t)[:, [0, 2]]
+                  - t[:, [0, 2]]).mean()
+    assert err4 < 0.7 * err0, (err4, err0)

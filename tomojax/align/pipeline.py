@@ -688,6 +688,7 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
                          volume0=None,
                          checkpoint_dir: str | None = None,
                          resume: bool = True,
+                         folds: int = 2,
                          progress: bool = False,
                          callback=None) -> AlignState:
     """Cross-validated alternation: refine each view against a
@@ -702,22 +703,30 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
     deep-polish outers while LM against the TRUE volume floors at ~4e-6,
     ``docs/convergence/c64_closing.json``, ``scripts/c64_floor.py``).
 
-    This driver breaks the loop by split-half cross-validation, the
+    This driver breaks the loop by K-fold cross-validation, the
     estimator analog of out-of-fold prediction: views are split into
-    interleaved halves A/B (each still covering the angular range
-    uniformly); per outer each half is reconstructed from its own data
-    only (warm-started across outers), then each half's views are
-    refined — and moment-matched — against the OTHER half's
-    reconstruction.  The recon a view is aligned to never saw that
-    view's data, so the self-absorption bias term vanishes; what
-    remains is the (half-)recon's view-independent error, which acts as
-    noise, not as a fixed-point bias.  The reference has no counterpart
-    (its protocol stops at ~1e-2-px accuracy after 35 fixed outers,
+    ``folds`` interleaved folds (each still covering the angular range
+    uniformly); per outer, each fold's COMPLEMENT (the other K-1 folds'
+    data) is reconstructed (warm-started across outers), then the
+    fold's views are refined — and moment-matched — against that
+    complement reconstruction.  The recon a view is aligned to never
+    saw that view's data, so the self-absorption bias term vanishes.
+
+    ``folds`` controls the bias/conditioning trade: with K=2 each
+    complement is half the data — at 64³/90 views a 45-view recon is
+    underdetermined (45·64² < 64³) and its irreducible null-space
+    error (~3.8e-2 rel-L2, ``docs/convergence/c64_cv.json``) sets a
+    new floor; K≳5 keeps the complement recon near full-data quality
+    (81 of 90 views at K=10) while preserving the out-of-fold
+    property.  Per-outer cost scales ~K× in recon work; pick K so
+    ``n_proj % folds == 0`` to keep one compiled program shape per
+    stage.  The reference has no counterpart (its protocol stops at
+    ~1e-2-px accuracy after 35 fixed outers,
     ``examples/align_rigid.py:27``).
 
     Slab production family only (the point of the stage is many deep
     recon solves).  Returns the final state with ``volume`` the mean of
-    the two half-reconstructions (run one full deep recon afterwards
+    the complement reconstructions (run one full deep recon afterwards
     for a final volume).
 
     :param theta_ref: views whose θ defines the center of the bound box
@@ -740,15 +749,21 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
     hi_all = theta_init + hi_off
 
     n = geom.n_proj
-    halves = [np.arange(0, n, 2), np.arange(1, n, 2)]
-    geoms = [dataclasses.replace(geom, n_proj=len(ix)) for ix in halves]
+    K = int(folds)
+    if not 2 <= K <= n // 2:
+        raise ValueError(f"folds={folds} must be in [2, n_proj//2]")
+    fold_ix = [np.arange(k, n, K) for k in range(K)]
+    comp_ix = [np.setdiff1d(np.arange(n), ix) for ix in fold_ix]
+    fgeoms = [dataclasses.replace(geom, n_proj=len(ix)) for ix in fold_ix]
+    cgeoms = [dataclasses.replace(geom, n_proj=len(ix)) for ix in comp_ix]
     quad = "arc"
 
     views = views0
-    vols = [None, None]   # per-half warm-started reconstructions
+    # vols[k] = warm-started reconstruction of fold k's COMPLEMENT data
+    vols = [None] * K
     if volume0 is not None:
         v0 = jnp.asarray(volume0, dtype).reshape(geom.vox_shape)
-        vols = [v0, v0]
+        vols = [v0] * K
     history = {"recon_rms": [], "refine_cost": []}
     start_iter = 0
     if checkpoint_dir:
@@ -763,14 +778,26 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
                               beta=jnp.asarray(z["beta"]),
                               t=jnp.asarray(z["t"]),
                               cor=jnp.asarray(z["cor"]))
-                vols = [jnp.asarray(z["vol_a"], dtype),
-                        jnp.asarray(z["vol_b"], dtype)]
+                if "vols" in z and z["vols"].shape[0] == K:
+                    vols = [jnp.asarray(v, dtype) for v in z["vols"]]
+                elif "vol_a" in z and K == 2:
+                    # legacy 2-fold layout: vol_a = recon(fold-0 data)
+                    # = recon(complement of fold 1) = vols[1]
+                    vols = [jnp.asarray(z["vol_b"], dtype),
+                            jnp.asarray(z["vol_a"], dtype)]
+                else:
+                    # fold count changed: reuse θ, re-warm each fold's
+                    # recon from the checkpoint's mean volume
+                    vm = (jnp.asarray(np.mean(z["vols"], axis=0), dtype)
+                          if "vols" in z else jnp.asarray(
+                              0.5 * (z["vol_a"] + z["vol_b"]), dtype))
+                    vols = [vm] * K
                 history = {"recon_rms": list(z["recon_rms"]),
                            "refine_cost": list(z["refine_cost"])}
                 start_iter = int(z["iteration"]) + 1
 
-    gstructs = [None, None]   # frozen per-half octant groups (solver)
-    rgroups = [None, None]    # frozen per-half groups (refinement)
+    gstructs = [None] * K  # frozen per-complement octant groups (solver)
+    rgroups = [None] * K   # frozen per-fold groups (refinement)
     mom_mask = None
     t_hb = time.perf_counter()
 
@@ -780,69 +807,70 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
                   flush=True)
 
     for it in range(start_iter, outer_iters):
-        # 1) per-half reconstructions from that half's data only
-        rms_halves = []
-        for h in (0, 1):
-            ix, gh = halves[h], geoms[h]
+        # 1) per-fold COMPLEMENT reconstructions (each excludes exactly
+        #    the fold it will be used to refine)
+        rms_folds = []
+        for k in range(K):
+            ix, gh = comp_ix[k], cgeoms[k]
             sub = jax.tree.map(lambda a: a[ix], views)
-            res = (sp.group_scalars_for(gh, sub, gstructs[h], quad, dtype)
-                   if gstructs[h] is not None else None)
+            res = (sp.group_scalars_for(gh, sub, gstructs[k], quad, dtype)
+                   if gstructs[k] is not None else None)
             if res is None:
-                gstructs[h], scalars = sp.scalar_groups(gh, sub, quad,
+                gstructs[k], scalars = sp.scalar_groups(gh, sub, quad,
                                                         dtype)
             else:
-                gstructs[h], scalars = res
-            x = (jnp.zeros(geom.vox_shape, dtype) if vols[h] is None
-                 else vols[h])
+                gstructs[k], scalars = res
+            x = (jnp.zeros(geom.vox_shape, dtype) if vols[k] is None
+                 else vols[k])
             done = 0
             chunk = recon_chunk or recon_iters
             while done < recon_iters:
                 nit = min(chunk, recon_iters - done)
                 prog = _slab_recon_prog(gh, quad, recon, nit, False,
-                                        gstructs[h], jnp.dtype(dtype).name)
+                                        gstructs[k], jnp.dtype(dtype).name)
                 x, rms_arr, n_it = prog(x, projections[ix], scalars)
                 done += nit
-            vols[h] = x
-            rms_halves.append(
+            vols[k] = x
+            rms_folds.append(
                 float(np.asarray(rms_arr)[max(0, int(n_it) - 1)]))
-            hb(f"outer {it}: recon half {h} ({len(ix)} views)")
-        history["recon_rms"].append(float(np.mean(rms_halves)))
+            hb(f"outer {it}: recon complement {k} ({len(ix)} views)")
+        history["recon_rms"].append(float(np.mean(rms_folds)))
 
-        # 2) refine each half against the OTHER half's reconstruction
+        # 2) refine each fold against its complement's reconstruction
         theta = np.asarray(views.theta6(), np.float64)
         cost_total = 0.0
         refs = {}
-        for h in (0, 1):
-            ix = halves[h]
+        for k in range(K):
+            ix = fold_ix[k]
             sub = jax.tree.map(lambda a: a[ix], views)
-            if rgroups[h] is None:
-                rgroups[h], _ = sp.scalar_groups(geoms[h], sub, quad,
+            if rgroups[k] is None:
+                rgroups[k], _ = sp.scalar_groups(fgeoms[k], sub, quad,
                                                  dtype)
-            ref = refine_views_slab(vols[1 - h], projections[ix],
-                                    geoms[h], sub, mask=mask,
+            ref = refine_views_slab(vols[k], projections[ix],
+                                    fgeoms[k], sub, mask=mask,
                                     lower=lo_all[ix], upper=hi_all[ix],
                                     max_iter=refine_iters,
-                                    groups=rgroups[h], dtype=dtype)
+                                    groups=rgroups[k], dtype=dtype)
             theta[ix] = np.asarray(ref.theta6, np.float64)
             cost_total += float(jnp.sum(ref.cost))
-            refs[h] = ref
-            hb(f"outer {it}: refine half {h} vs recon half {1 - h}")
+            refs[k] = ref
+            hb(f"outer {it}: refine fold {k} vs complement recon")
         history["refine_cost"].append(cost_total)
         views = Views.from_theta6(jnp.asarray(theta, dtype),
                                   cor=views.cor)
 
-        # 3) cross-validated moment hook: each half's (tx, tz) moment
-        #    error measured against the other half's reprojection
+        # 3) cross-validated moment hook: each fold's (tx, tz) moment
+        #    error measured against its complement recon's reprojection
         if moment_period and (mask[0] or mask[2]) \
                 and (it + 1) % moment_period == 0:
             if mom_mask is None:
                 mom_mask = jnp.asarray(
                     _support_mask(geom, np.asarray(projections)), dtype)
             dmom = np.zeros((n, 2), np.float64)
-            for h in (0, 1):
-                ix = halves[h]
+            for k in range(K):
+                ix = fold_ix[k]
                 sub = jax.tree.map(lambda a: a[ix], views)
-                synth = sp.project(vols[1 - h] * mom_mask, geoms[h], sub,
+                synth = sp.project(vols[k] * mom_mask, fgeoms[k], sub,
                                    quad=quad,
                                    dtype=dtype).reshape(len(ix), -1)
                 dmom[ix] = np.asarray(moment_match(
@@ -860,14 +888,14 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
             hb(f"outer {it}: cv moment |dtx|={np.abs(dmom[:, 0]).mean():.2e}"
                f" |dtz|={np.abs(dmom[:, 1]).mean():.2e}")
 
-        volume = 0.5 * (vols[0] + vols[1])
+        volume = sum(vols) / K
         if checkpoint_dir:
             np.savez(os.path.join(checkpoint_dir, f"cv_ckpt_{it:04d}.npz"),
                      phi=np.asarray(views.phi),
                      alpha=np.asarray(views.alpha),
                      beta=np.asarray(views.beta),
                      t=np.asarray(views.t), cor=np.asarray(views.cor),
-                     vol_a=np.asarray(vols[0]), vol_b=np.asarray(vols[1]),
+                     vols=np.stack([np.asarray(v) for v in vols]),
                      iteration=it,
                      recon_rms=np.asarray(history["recon_rms"]),
                      refine_cost=np.asarray(history["refine_cost"]))
@@ -877,10 +905,9 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
     residuals = jnp.zeros((n,), dtype)
     if start_iter < outer_iters:
         residuals = jnp.concatenate(
-            [refs[0].cost, refs[1].cost])[jnp.argsort(
-                jnp.concatenate([jnp.asarray(halves[0]),
-                                 jnp.asarray(halves[1])]))]
-    volume = 0.5 * (vols[0] + vols[1]) if vols[0] is not None else \
+            [refs[k].cost for k in range(K)])[jnp.argsort(
+                jnp.concatenate([jnp.asarray(ix) for ix in fold_ix]))]
+    volume = sum(vols) / K if vols[0] is not None else \
         jnp.zeros(geom.vox_shape, dtype)
     return AlignState(views=views, volume=volume, residuals=residuals,
                       history=history)

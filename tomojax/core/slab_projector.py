@@ -772,47 +772,6 @@ def _apply_kernel_bwd(geom, quad, scalars, g):
 _apply_kernel.defvjp(_apply_kernel_fwd, _apply_kernel_bwd)
 
 
-def _project_group(vol, geom: Geometry, views: Views, swap: bool,
-                   yflip: bool, uflip: bool, quad: str, dtype,
-                   views_chunk=None):
-    vol_or = orient_volume(jnp.asarray(vol).astype(dtype), geom, swap, yflip)
-    nu, nv = geom.det_shape
-
-    if _use_slab_kernel(geom, dtype, quad):
-        sc_np = slab_scalars_np(geom, views, swap, yflip, uflip, quad)
-        from tomojax.kernels import slab as slabk
-        if slabk.kernel_bounds_ok(sc_np, nv=nv):
-            sino = _apply_kernel(vol_or, jnp.asarray(sc_np, jnp.float32),
-                                 geom, quad)                   # (V, nu, nv)
-            if uflip:
-                sino = sino[:, ::-1, :]
-            return sino.reshape(views.n_proj, -1)
-
-    def f(vw):
-        E, B = view_affine(geom, vw.phi, vw.alpha, vw.beta, vw.t, vw.cor,
-                           dtype)
-        E, B = orient_affine(E, B, vol_or.shape[1], swap, yflip, dtype,
-                             uflip, nu)
-        p = slab_params(E, B, dtype)
-        out = _forward_oriented_xla(vol_or, p, geom, quad=quad,
-                                    dtype=dtype)
-        if uflip:
-            out = out[::-1, :]
-        return out.reshape(-1)
-
-    n = views.n_proj
-    chunk = views_chunk or max(1, min(n, (1 << 26) // max(1, geom.n_vox)))
-    chunk = max(1, min(chunk, n))
-    while n % chunk:
-        chunk -= 1
-    if chunk >= n:
-        return jax.vmap(f)(views)
-    views_c = jax.tree.map(lambda a: a.reshape(n // chunk, chunk,
-                                               *a.shape[1:]), views)
-    out = lax.map(jax.vmap(f), views_c)
-    return out.reshape(n, -1)
-
-
 def _orient_groups(views: Views, geom: Geometry):
     swaps, yflips, uflips = orient_flags(views, geom)
     for sw in (False, True):
@@ -824,6 +783,29 @@ def _orient_groups(views: Views, geom: Geometry):
                     yield idx, sw, yf, uf
 
 
+@functools.lru_cache(maxsize=64)
+def _public_apply_prog(geom: Geometry, gstruct, quad: str, dtype_str: str,
+                       views_chunk, adjoint: bool):
+    """One jitted whole-apply program per (geometry, group structure).
+
+    The public :func:`project`/:func:`backproject` route through this so
+    every op of the slab march lives in ONE device program.  Running the
+    march eagerly instead costs one host↔device round trip per op — on a
+    remote-TPU tunnel that turned a 44 ms apply into ~11 s (measured,
+    64³/90 views)."""
+    dtype = jnp.dtype(dtype_str)
+    if adjoint:
+        def run(sino, scalars):
+            return backproject_scalars(sino, geom, gstruct, scalars, quad,
+                                       dtype=dtype,
+                                       views_chunk=views_chunk)
+    else:
+        def run(vol, scalars):
+            return project_scalars(vol, geom, gstruct, scalars, quad,
+                                   dtype=dtype, views_chunk=views_chunk)
+    return jax.jit(run)
+
+
 def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
             quad: str = "arc", views_chunk: int | None = None):
     """Multi-view slab forward → ``(n_proj, n_det)``.
@@ -831,36 +813,27 @@ def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
     Views are grouped host-side by orientation (swap, yflip, uflip); each
     group shares one oriented volume variant, no in-graph branching. On
     TPU each group runs through the fused Pallas kernel
-    (``tomojax.kernels.slab``)."""
+    (``tomojax.kernels.slab``), and the whole apply is one cached jitted
+    program (per-view scalars enter as arguments, so new θ with the same
+    group structure reuses the compilation)."""
     nx, ny, _ = geom.vox_shape
     assert nx == ny, "slab family requires nx == ny (square x-y footprint)"
-    # views must be concrete (host-side orientation grouping + kernel
-    # scalars); snap to numpy so jit's op-staging can't trace them
-    views = jax.tree.map(np.asarray, views)
-    n = views.n_proj
-    out = jnp.zeros((n, geom.n_det), dtype=dtype)
-    for idx, sw, yf, uf in _orient_groups(views, geom):
-        part = _project_group(vol, geom, _take_views(views, idx), sw, yf,
-                              uf, quad, dtype, views_chunk)
-        out = out.at[jnp.asarray(idx)].set(part)
-    return out
+    gstruct, scalars = scalar_groups(geom, views, quad, dtype,
+                                     strict_bounds=True)
+    prog = _public_apply_prog(geom, gstruct, quad, jnp.dtype(dtype).name,
+                              views_chunk, False)
+    return prog(vol, scalars)
 
 
 def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
                 quad: str = "arc", views_chunk: int | None = None):
     """Exact adjoint of :func:`project` (vjp of the linear forward; on the
     Pallas path this is the dedicated transpose kernel)."""
-    views = jax.tree.map(np.asarray, views)
-    sino = sino.reshape(views.n_proj, geom.n_det).astype(dtype)
-    acc = jnp.zeros(geom.vox_shape, dtype)
-    for idx, sw, yf, uf in _orient_groups(views, geom):
-        sub = _take_views(views, idx)
-        fwd = lambda vv: _project_group(vv, geom, sub, sw, yf, uf, quad,
-                                        dtype, views_chunk)
-        _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
-        (vol_bar,) = vjp_fn(sino[jnp.asarray(idx)])
-        acc = acc + vol_bar
-    return acc
+    gstruct, scalars = scalar_groups(geom, views, quad, dtype,
+                                     strict_bounds=True)
+    prog = _public_apply_prog(geom, gstruct, quad, jnp.dtype(dtype).name,
+                              views_chunk, True)
+    return prog(jnp.asarray(sino), scalars)
 
 
 # ----------------------------------------------------------------------
@@ -884,7 +857,7 @@ def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
 
 
 def scalar_groups(geom: Geometry, views: Views, quad: str = "arc",
-                  dtype=jnp.float32):
+                  dtype=jnp.float32, strict_bounds: bool = False):
     """Host-side split of concrete views into orientation groups.
 
     Routing: the kernel is used whenever the *geometry* supports it
@@ -898,6 +871,11 @@ def scalar_groups(geom: Geometry, views: Views, quad: str = "arc",
     error at the refinement box corner (measured, 64³), no fault — and
     alternating θ updates converge back into budget.
 
+    :param strict_bounds: demote a group to the XLA path when its band
+        budget is exceeded (single-apply contract of the public
+        :func:`project`), instead of warning and clipping (the
+        alternating-driver contract, where a mid-run kernel↔XLA flip
+        would force a fresh compile).
     :returns: ``(gstruct, scalars)`` — ``gstruct`` is a hashable tuple of
         per-group ``(view_indices, swap, yflip, uflip, use_kernel)`` and
         ``scalars`` a matching tuple of ``(V_g, NS)`` scalar arrays
@@ -910,14 +888,18 @@ def scalar_groups(geom: Geometry, views: Views, quad: str = "arc",
     for idx, sw, yf, uf in _orient_groups(views, geom):
         sc = slab_scalars_np(geom, _take_views(views, idx), sw, yf, uf,
                              quad)
+        uk_g = use_k
         if use_k and not slabk.kernel_bounds_ok(sc, nv=nv):
-            warnings.warn(
-                "slab kernel band budget exceeded for some views "
-                f"(group of {len(idx)}, quad={quad!r}); results for "
-                "those views degrade gracefully (clipped anchors)",
-                stacklevel=2)
+            if strict_bounds:
+                uk_g = False
+            else:
+                warnings.warn(
+                    "slab kernel band budget exceeded for some views "
+                    f"(group of {len(idx)}, quad={quad!r}); results for "
+                    "those views degrade gracefully (clipped anchors)",
+                    stacklevel=2)
         gstruct.append((tuple(int(i) for i in idx), bool(sw), bool(yf),
-                        bool(uf), bool(use_k)))
+                        bool(uf), bool(uk_g)))
         scalars.append(jnp.asarray(sc, dtype))
     return tuple(gstruct), tuple(scalars)
 
