@@ -263,6 +263,47 @@ def test_com_align_recovers_translations():
     assert np.abs(res).mean() < 0.2 * raw
 
 
+def test_com_align_off_center_phantom():
+    """Regression for the BASELINE-config-3 finding: a phantom whose COM
+    sits off the rotation axis (the Shepp phantom's y-COM is ~1% of n)
+    induces u_com(phi) = Cx cos + Cy sin; over a half-circle
+    mean(sin) = 2/pi != 0, so mean-subtraction left a *constant* tx
+    error ~ (2/pi)Cy — a COR shift that grew with resolution (1.5 px at
+    256^3) and made pre-alignment worse than nothing.  The harmonic-fit
+    estimator must stay at the moment-discretization floor, and its
+    error must lie in the unobservable span {1, cos, sin} only."""
+    from tomojax.align import com_align
+    n, n_proj = 32, 40
+    vol0 = phantom.shepp3d(n).astype(np.float32)
+    # shift the phantom 3 voxels along y: COM well off the rotation axis
+    vol = np.zeros_like(vol0)
+    vol[:, 3:, :] = vol0[:, :-3, :]
+    vol = jnp.asarray(vol)
+    rng = np.random.default_rng(1)
+    phi = np.linspace(0, np.pi, n_proj)
+    t = np.zeros((n_proj, 3))
+    t[:, 0] = rng.uniform(-2, 2, n_proj)
+    t[:, 2] = rng.uniform(-2, 2, n_proj)
+    views = Views.create(n_proj, phi=phi, t=t)
+    meas = projector.project(vol, geom=Geometry(
+        n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n)), views=views)
+    est = np.asarray(com_align(
+        meas, Geometry(n_proj=n_proj, vox_shape=(n,) * 3,
+                       det_shape=(n, n)), phi))
+    ex = est[:, 0] - t[:, 0]
+    # project out the unobservable span {1, cos, sin} (gauge + COR)
+    basis = np.stack([np.ones_like(phi), np.cos(phi), np.sin(phi)], 1)
+    r = ex - basis @ np.linalg.lstsq(basis, ex, rcond=None)[0]
+    assert np.abs(r).mean() < 0.08, np.abs(r).mean()
+    # and the estimate itself carries no spurious constant: its fit
+    # residual vs truth-projected-out-of-span is small even raw after
+    # removing truth's own span component
+    t_span = basis @ np.linalg.lstsq(basis, t[:, 0], rcond=None)[0]
+    assert np.abs(ex + t_span).mean() < 0.15, np.abs(ex + t_span).mean()
+    ez = est[:, 1] - t[:, 2]
+    assert np.abs(ez - ez.mean()).mean() < 0.08
+
+
 def test_align_reconstruct_chunked_refinement_paths():
     """Regression: the view-chunked LM refinement path (refine_chunk < n)
     must run and give the same result as the unchunked path.  Round 2

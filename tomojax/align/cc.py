@@ -265,26 +265,45 @@ def align_to_reprojection(projections, geom, views, *, rounds: int = 2,
 
 
 def com_align(projections, geom, phi, dtype=jnp.float32):
-    """Per-view (tx, tz) from the sinogram center-of-mass consistency
-    condition — exact for the parallel-beam transform.
+    """Per-view (tx, tz) from the sinogram center-of-mass (Helgason–
+    Ludwig first-moment) consistency condition — exact for the
+    parallel-beam transform.
 
     The detector co-rotates with the beam in this geometry
     (``utilities/geometry.py:95-100``: source/detector planes are rigid
     with the rotated frame), so in detector coordinates
 
-        u_com_i = Cx - tx_i + O(beta*t),   v_com_i = Cz - tz_i + O(alpha*t)
+        u_com_i = Cx cos(phi_i) + Cy sin(phi_i) - tx_i + O(beta*t)
+        v_com_i = Cz - tz_i + O(alpha*t)
 
-    with (Cx, Cz) the volume COM's (x, z) coordinates — *constant across
-    views* (t translates the rigid sampling frame, so the image content
-    moves by exactly -t; verified numerically to 1e-3 px at every phi).
-    Removing the per-axis mean (exactly the volume-shift gauge) leaves the
-    per-view jitter — with no reconstruction, no pairwise chain, and hence
-    no drift (the fix for the reference chain's rotation-drift,
-    ``align_cc.py:27-38``; round-1 VERDICT item 6).
+    with (Cx, Cy, Cz) the volume COM's offset from the rotation axis
+    (content moves by exactly -t in the co-rotating frame; the volume
+    term rotates with phi). tx is therefore observable only up to its
+    projection onto span{1, cos phi, sin phi}: the {cos, sin} part is
+    exactly the volume-shift gauge, and the constant is a center-of-
+    rotation offset first moments cannot see (``cor_flipping`` measures
+    it from a 0/180° pair). We regress u_com on that span and return
+    the negated residual — assuming zero-mean jitter, like the
+    reference's chain aligner. Subtracting only the mean (as before
+    round 3) silently assumed Cx = Cy = 0; the Shepp phantom's COM sits
+    ~1%%·n off-axis in y, and over a half-circle mean(sin) = 2/pi != 0,
+    which left a *constant* tx error ≈ (2/pi)·Cy — a COR shift that
+    made 256³ pre-alignment worse than nothing (docs/STATUS.md,
+    BASELINE config 3). With the harmonic fit the estimator is exact to
+    the moment-discretization floor (~1e-3 px at 128³) regardless of
+    the phantom's COM.
+
+    v_com keeps plain mean removal: z is invariant under the phi
+    rotation, so the volume term really is constant there.
+
+    No reconstruction, no pairwise chain, hence no drift (the fix for
+    the reference chain's rotation-drift, ``align_cc.py:27-38``;
+    round-1 VERDICT item 6).
 
     :returns: (n_proj, 2) per-view (tx, tz) estimates.
     """
-    n = len(np.asarray(phi))
+    phi = np.asarray(phi)
+    n = len(phi)
     nu, nv = geom.det_shape
     p = jnp.asarray(projections, dtype).reshape(n, nu, nv)
     p = jnp.maximum(p, 0.0)
@@ -293,7 +312,10 @@ def com_align(projections, geom, phi, dtype=jnp.float32):
     v = jnp.arange(nv, dtype=dtype)[None, None, :]
     u_com = jnp.sum(p * u, axis=(1, 2)) / mass
     v_com = jnp.sum(p * v, axis=(1, 2)) / mass
-    tx = jnp.mean(u_com) - u_com
+    basis = np.stack([np.ones_like(phi), np.cos(phi), np.sin(phi)], 1)
+    coef, *_ = np.linalg.lstsq(basis, np.asarray(u_com, np.float64),
+                               rcond=None)
+    tx = jnp.asarray(basis @ coef, dtype) - u_com
     tz = jnp.mean(v_com) - v_com
     return jnp.stack([tx, tz], axis=1)
 
