@@ -154,6 +154,72 @@ def test_kernel_bounds_boundary():
     assert not slabk.kernel_bounds_ok(bad2, nv=64)
 
 
+def test_fused_jac_kernel_val_px_match_xla():
+    """Quick-tier smoke of the fused 12-output Jacobian kernel: the
+    'val' and 'px' slices must match the XLA scalar path (full 12-slice
+    parity vs the per-variant kernels is the slow-tier test below)."""
+    n = 64
+    geom = Geometry(n_proj=1, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = phantom.shepp3d(n).astype(np.float32)
+    views = _jittered_views(1, seed=9, phi0=0.6)
+    groups = list(sp._orient_groups(jax.tree.map(np.asarray, views), geom))
+    idx, sw, yf, uf = groups[0]
+    sub = jax.tree.map(lambda a: np.asarray(a)[idx], views)
+    sc = sp.slab_scalars_np(geom, sub, sw, yf, uf, "arc")
+    vol_or = sp.orient_volume(jnp.asarray(vol, F32), geom, sw, yf)
+    scj = jnp.asarray(sc, F32)
+    fused = np.asarray(slabk.slab_project_jac_pallas(vol_or, scj, geom,
+                                                     interpret=True))
+    for name, kw in (("val", {}), ("px", dict(deriv="x"))):
+        ref = np.asarray(sp._forward_oriented_xla(
+            vol_or, jax.tree.map(lambda a: a.astype(F32),
+                                 sp.params_from_scalars(scj[0])),
+            geom, quad="arc", dtype=F32, **kw))
+        i = slabk.JAC_PASSES.index(name)
+        rel = (np.linalg.norm(fused[0, i] - ref)
+               / max(np.linalg.norm(ref), 1e-6))
+        assert rel < 2e-3, (name, rel)
+
+
+@pytest.mark.slow
+def test_fused_jac_kernel_matches_individual_passes():
+    """The fused 12-output Jacobian kernel == the twelve per-variant
+    kernel launches (same math, shared dataflow): every slice of
+    ``slab_project_jac_pallas`` must match its ``slab_project_pallas``
+    variant to f32 association noise."""
+    n = 64
+    geom = Geometry(n_proj=2, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = phantom.shepp3d(n).astype(np.float32)
+    views = _jittered_views(2, seed=9, phi0=0.6)
+    nv = geom.det_shape[1]
+    groups = list(sp._orient_groups(jax.tree.map(np.asarray, views), geom))
+    idx, sw, yf, uf = groups[0]
+    sub = jax.tree.map(lambda a: np.asarray(a)[idx], views)
+    sc = sp.slab_scalars_np(geom, sub, sw, yf, uf, "arc")
+    assert slabk.kernel_bounds_ok(sc, nv=nv)
+    vol_or = sp.orient_volume(jnp.asarray(vol, F32), geom, sw, yf)
+    scj = jnp.asarray(sc, F32)
+
+    fused = np.asarray(slabk.slab_project_jac_pallas(vol_or, scj, geom,
+                                                     interpret=True))
+    assert fused.shape == (scj.shape[0], slabk.NJP, n, n)
+    variants = {"val": {}, "px": dict(deriv="x"), "py": dict(deriv="y"),
+                "pz": dict(deriv="z"),
+                "jx": dict(deriv="x", jweight=True),
+                "jy": dict(deriv="y", jweight=True),
+                "jz": dict(deriv="z", jweight=True),
+                "rx": dict(deriv="x", rweight=True),
+                "ry": dict(deriv="y", rweight=True),
+                "rz": dict(deriv="z", rweight=True),
+                "zm": dict(deriv="zm"), "zc": dict(deriv="zc")}
+    for i, name in enumerate(slabk.JAC_PASSES):
+        ref = np.asarray(slabk.slab_project_pallas(
+            vol_or, scj, geom, "arc", interpret=True, **variants[name]))
+        num = np.linalg.norm(fused[:, i] - ref)
+        den = max(np.linalg.norm(ref), 1e-6)
+        assert num / den < 1e-5, (name, num / den)
+
+
 @pytest.mark.slow
 def test_fwd_kernel_deriv_variants_match_xla():
     """Jacobian building-block variants (hat-derivative passes + j/r

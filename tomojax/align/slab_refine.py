@@ -23,6 +23,7 @@ Jacobian" — the θ-gradient runs entirely on the production operator.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -76,11 +77,20 @@ def _group_value_jac(vol_or, theta, cor, geom: Geometry, flags,
                                    dtype=dtype)
 
     scalars = jax.vmap(sc_of)(theta, cor)
-    out = {}
-    for name, dv, jw, rw in _PASSES:
-        out[name] = _batched_forward(vol_or, scalars, geom, use_kernel,
-                                     dtype, deriv=dv, jweight=jw,
-                                     rweight=rw)
+    if use_kernel and os.environ.get("TOMOJAX_SLAB_FUSED_JAC") != "0":
+        # ONE fused kernel call for all 12 building blocks (shared pass-A
+        # align matmuls, 3 shared pass-B band-matmul variants, 12→1
+        # Mosaic compile) — see kernels.slab._fwd_jac_kernel
+        from tomojax.kernels import slab as slabk
+        stacked = slabk.slab_project_jac_pallas(vol_or, scalars, geom)
+        out = {name: stacked[:, i]
+               for i, name in enumerate(slabk.JAC_PASSES)}
+    else:
+        out = {}
+        for name, dv, jw, rw in _PASSES:
+            out[name] = _batched_forward(vol_or, scalars, geom,
+                                         use_kernel, dtype, deriv=dv,
+                                         jweight=jw, rweight=rw)
 
     def assemble(row_idx):
         t6 = theta[row_idx]
@@ -109,16 +119,20 @@ def _group_value_jac(vol_or, theta, cor, geom: Geometry, flags,
 
 
 @functools.lru_cache(maxsize=64)
-def _group_prog(geom: Geometry, flags, use_kernel: bool, steps: int,
+def _group_prog(geom: Geometry, flags, use_kernel: bool,
                 dtype_str: str):
-    """One jitted LM program per (geometry, octant, #iterations) combo.
+    """One jitted LM program per (geometry, octant) combo.
 
     The whole box-LM loop runs as a single ``lax.fori_loop`` device
     program (each eager dispatch on a remote-TPU tunnel costs ~1 s of
     round-trip; host-stepping the loop dominated the wall clock). The
     caller pads the view batch to a multiple of 8, so the program shape —
     and the Mosaic kernel compile behind it — is stable across outer
-    iterations while group membership drifts."""
+    iterations while group membership drifts. The iteration count is a
+    *traced* argument (fori_loop lowers to while_loop), so bulk and
+    polish stages with different ``max_iter`` share one compile — on the
+    remote-TPU tunnel each distinct 256³ LM program costs many minutes
+    of Mosaic/XLA compile."""
     dtype = jnp.dtype(dtype_str)
     sw, yf, uf = flags
 
@@ -153,7 +167,7 @@ def _group_prog(geom: Geometry, flags, use_kernel: bool, steps: int,
         cost2 = jnp.where(improved, cost_new, cost)
         return theta2, lam2, cost2
 
-    def run(vol, meas, cor, mask_f, lo, hi, theta0, lam0):
+    def run(vol, meas, cor, mask_f, lo, hi, theta0, lam0, steps):
         vol_or = sp.orient_volume(jnp.asarray(vol, dtype), geom, sw, yf)
         if uf:   # group forward emits u-flipped rows; flip the data once
             meas = meas[:, ::-1, :]
@@ -226,7 +240,7 @@ def refine_views_slab(vol, projections, geom: Geometry, views: Views, *,
         #                       per-view independent, results are dropped
         idxp = np.concatenate([idx, np.repeat(idx[:1], V8 - V)])
         uk = bool(uk and use_kernel)
-        prog = _group_prog(geom, (sw, yf, uf), bool(uk), int(max_iter),
+        prog = _group_prog(geom, (sw, yf, uf), bool(uk),
                            jnp.dtype(dtype).name)
         theta, cost = prog(vol,
                            jnp.asarray(meas_all[idxp], dtype),
@@ -234,7 +248,8 @@ def refine_views_slab(vol, projections, geom: Geometry, views: Views, *,
                            jnp.asarray(lo[idxp], dtype),
                            jnp.asarray(hi[idxp], dtype),
                            jnp.asarray(theta_all[idxp], dtype),
-                           jnp.full((V8,), lm_lambda0, dtype))
+                           jnp.full((V8,), lm_lambda0, dtype),
+                           jnp.int32(max_iter))
         theta_out[idx] = np.asarray(theta)[:V]
         cost_out[idx] = np.asarray(cost)[:V]
     return RefineResult(theta6=jnp.asarray(theta_out, dtype),

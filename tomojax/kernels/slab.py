@@ -388,6 +388,174 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                                 acc * wfin
 
 
+# Jacobian building-block passes emitted by the fused kernel, in the order
+# align/slab_refine._PASSES consumes them (the reference computes the same
+# 12 detector-space fields one ray-sample at a time inside its fused
+# projection+gradient routine, src/ray_wt_grad.f90:95-223).
+JAC_PASSES = ("val", "px", "py", "pz", "jx", "jy", "jz",
+              "rx", "ry", "rz", "zm", "zc")
+NJP = len(JAC_PASSES)
+
+
+def _fwd_jac_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
+                    al_ref, *, nx, ny, nz, nu, nv, K, n_steps, arc):
+    """Fused forward + ALL 12 Jacobian building blocks in one pass.
+
+    The 12 variants of :func:`_fwd_kernel` share every expensive stage:
+
+    - the pass-A align matmul is weight-independent (shared verbatim);
+    - pass A needs only THREE band-combine variants — T(hat), T(hat'),
+      T(hat'·cfb) — because hat_a is `_hat` for {val,px,py,jx,jy,rx,ry}
+      and `_dhat` for {pz,jz,rz,zm,zc}, with 'zc' adding the cfb grid
+      weight;
+    - the pass-B selection matmul depends only on the T frame, so 6
+      band matmuls (3 variants × 2 sides) replace the 24 of twelve
+      separate kernel calls;
+    - the j/r sample weights are elementwise per tile, so {jx,rx} reuse
+      px's band accumulation (likewise y/z) — 6 VPU accumulations fan
+      out to 12 outputs.
+
+    Net: ~4× less MXU work, 12× less volume streaming, and ONE Mosaic
+    compile where the per-pass path needs twelve (the dominant cost of
+    the batched-LM refinement program at ≥256³). Arc mode only (the
+    Jacobian passes are arc-quadrature by construction)."""
+    assert arc, "fused Jacobian kernel is arc-mode only"
+    c = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, f32)
+        s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX])
+        thi_ref[...] = jnp.zeros(thi_ref.shape, jnp.bfloat16)
+        tlo_ref[...] = jnp.zeros(tlo_ref.shape, jnp.bfloat16)
+
+    p = _Scalars(sc_ref)
+    nzp = nz + 2 * PADZ
+    nva = nv + NVA_PAD
+    xch = _xch(nx)
+    O = {name: i for i, name in enumerate(JAC_PASSES)}
+
+    for k in range(K):
+        r_i = c * K + k - 1
+        r = r_i.astype(f32)
+        valid = (r_i >= -1) & (r_i <= ny - 1)
+
+        @pl.when(valid)
+        def _(k=k, r=r):
+            cx_r = p.cxb + p.rx * r
+            cz_r = p.czb + p.rz * r
+            wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
+
+            # ---- pass-A align gather: identical to _fwd_kernel ----
+            for xc0 in range(0, nx, xch):
+                zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp,
+                                    True, xch)
+                selza = _build_selza(zoff, nzp, nva)
+                dims = (((1,), (0,)), ((), ()))
+                for s in range(2):
+                    rows = vol_ref[0, k + s, xc0:xc0 + xch, :]
+                    rhi, rlo = _split16(rows)
+                    al_ref[s, xc0:xc0 + xch, :] = (
+                        lax.dot_general(rhi, selza, dims,
+                                        preferred_element_type=f32)
+                        + lax.dot_general(rlo, selza, dims,
+                                          preferred_element_type=f32))
+
+            for b in range(2):
+                # ---- pass-A band combine: 3 weight variants at once ----
+                for xc0 in range(0, nx, xch):
+                    zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv, nzp,
+                                        True, xch)
+                    zeta, v_t, cfb_a = _pass_a_zeta_chunk(
+                        p, xc0, r, b, cx_r, cz_r, wa0r, nv, True, xch)
+                    tapb = (zoff - PADZ).astype(f32) + v_t
+                    for s in range(2):
+                        al = al_ref[s, xc0:xc0 + xch, :]
+                        acc_h = jnp.zeros((xch, nv), f32)
+                        acc_d = jnp.zeros((xch, nv), f32)
+                        for m in range(MBA):
+                            d = zeta - (tapb + float(m))
+                            acc_h += _hat(d) * al[:, m:m + nv]
+                            acc_d += _dhat(d) * al[:, m:m + nv]
+                        for var, acc in enumerate(
+                                (acc_h, acc_d, acc_d * cfb_a)):
+                            hi, lo = _split16(acc)
+                            thi_ref[var * 2 + s,
+                                    XP + xc0:XP + xc0 + xch, :] = hi
+                            tlo_ref[var * 2 + s,
+                                    XP + xc0:XP + xc0 + xch, :] = lo
+
+                # ---------- pass B + blend + 12-way accumulate ----------
+                for uc in range(nu // UCH):
+                    u0 = float(uc * UCH)
+                    for vc in range(nv // VCH):
+                        v0 = float(vc * VCH)
+                        w8, a_res, rel = _window_anchor(p, u0, v0, b,
+                                                        cx_r, nx, True)
+
+                        @pl.when(rel)
+                        def _(u0=u0, v0=v0, b=b, uc=uc, vc=vc, w8=w8,
+                              a_res=a_res):
+                            X, fy, ok, j_t = _pass_b_tiles(
+                                p, u0, v0, r, b, cx_r, n_steps, True)
+                            sel = s_ref[pl.ds(
+                                pl.multiple_of(a_res * (NBB * UCH), 8),
+                                NBB * UCH), :]
+                            dims = (((1,), (0,)), ((), ()))
+                            bands = [[_dot16(
+                                sel,
+                                thi_ref[var * 2 + s, pl.ds(w8, WINB),
+                                        vc * VCH:(vc + 1) * VCH],
+                                tlo_ref[var * 2 + s, pl.ds(w8, WINB),
+                                        vc * VCH:(vc + 1) * VCH],
+                                dims) for s in range(2)]
+                                for var in range(3)]
+
+                            du_t = lax.broadcasted_iota(
+                                jnp.int32, (UCH, VCH), 0).astype(f32)
+                            k0 = jnp.floor(p.eux * du_t)
+                            base_x = (w8 + a_res - XP).astype(f32)
+                            zt = jnp.zeros((UCH, VCH), f32)
+                            a_val, a_px, a_py = zt, zt, zt
+                            a_pz, a_zm, a_zc = zt, zt, zt
+                            for m in range(NBB):
+                                d = X - (base_x + k0 + float(m))
+                                w_h = _hat(d)
+                                bh0 = bands[0][0][m * UCH:(m + 1) * UCH]
+                                bh1 = bands[0][1][m * UCH:(m + 1) * UCH]
+                                bd0 = bands[1][0][m * UCH:(m + 1) * UCH]
+                                bd1 = bands[1][1][m * UCH:(m + 1) * UCH]
+                                bc0 = bands[2][0][m * UCH:(m + 1) * UCH]
+                                bc1 = bands[2][1][m * UCH:(m + 1) * UCH]
+                                dh = bh1 - bh0
+                                lerp_h = bh0 + fy * dh
+                                lerp_d = bd0 + fy * (bd1 - bd0)
+                                a_val = a_val + w_h * lerp_h
+                                a_py = a_py + w_h * dh
+                                a_px = a_px + _dhat(d) * lerp_h
+                                a_pz = a_pz + w_h * lerp_d
+                                a_zm = a_zm + _mhat(d) * lerp_d
+                                a_zc = a_zc + w_h * (bc0
+                                                     + fy * (bc1 - bc0))
+                            w0 = ok * p.scale
+                            wj = w0 * j_t
+                            wr = w0 * r
+                            us = slice(uc * UCH, (uc + 1) * UCH)
+                            vs = slice(vc * VCH, (vc + 1) * VCH)
+                            for name, term in (
+                                    ("val", a_val * w0),
+                                    ("px", a_px * w0), ("jx", a_px * wj),
+                                    ("rx", a_px * wr),
+                                    ("py", a_py * w0), ("jy", a_py * wj),
+                                    ("ry", a_py * wr),
+                                    ("pz", a_pz * w0), ("jz", a_pz * wj),
+                                    ("rz", a_pz * wr),
+                                    ("zm", a_zm * w0),
+                                    ("zc", a_zc * w0)):
+                                out_ref[0, O[name], us, vs] += term
+
+
 def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
                 nx, ny, nz, nu, nv, K, n_steps, arc):
     """Adjoint: grid (C, V); out block (1, K, nx, NZP) revisited across V.
@@ -665,6 +833,61 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
     )(scalars.astype(jnp.float32).reshape(-1, 1, NS), vol_ov)
     nu0, nv0 = geom.det_shape
     return out[:V0, :nu0, :nv0]
+
+
+def slab_project_jac_pallas(vol_or, scalars, geom,
+                            interpret: bool = False):
+    """All 12 Jacobian building-block fields in ONE fused kernel call.
+
+    Returns ``(V, NJP, nu, nv)`` f32, pass order :data:`JAC_PASSES` —
+    slice ``[:, i]`` equals ``slab_project_pallas(..., **variant_i)``
+    (same math, shared dataflow; see :func:`_fwd_jac_kernel`). Arc only.
+
+    This is the production path of the batched-LM alignment refinement
+    (``align/slab_refine.py``): per LM iteration ONE call replaces the
+    twelve per-variant kernel launches — and, critically for the remote
+    TPU worker, one Mosaic compile replaces twelve."""
+    if os.environ.get("TOMOJAX_SLAB_KERNEL") == "interpret":
+        interpret = True
+    statics, C = _statics(geom, "arc")
+    V0 = scalars.shape[0]
+    V = -(-V0 // 8) * 8     # V-bucketing (see slab_project_pallas)
+    if V != V0:
+        scalars = jnp.concatenate(
+            [scalars, jnp.broadcast_to(scalars[:1],
+                                       (V - V0,) + scalars.shape[1:])])
+    K = statics["K"]
+    vol_ov = _prep_volume(vol_or, C, K, statics["nz"])
+    nx, nz = statics["nx"], statics["nz"]
+    nu, nv = statics["nu"], statics["nv"]
+    NZP = nz + 2 * PADZ
+    NXPS = nx + XP + XPH
+    kern = functools.partial(_fwd_jac_kernel, **statics)
+    out = pl.pallas_call(
+        kern,
+        grid=(V, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, NS), lambda v, c: (v, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K + 1, nx, NZP), lambda v, c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NJP, nu, nv),
+                               lambda v, c: (v, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((V, NJP, nu, nv), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8 * NBB * UCH, WINB), jnp.bfloat16),
+            pltpu.VMEM((6, NXPS, nv), jnp.bfloat16),
+            pltpu.VMEM((6, NXPS, nv), jnp.bfloat16),
+            pltpu.VMEM((2, nx, nv + NVA_PAD), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(scalars.astype(jnp.float32).reshape(-1, 1, NS), vol_ov)
+    nu0, nv0 = geom.det_shape
+    return out[:V0, :, :nu0, :nv0]
 
 
 def slab_backproject_pallas(gbar, scalars, geom, quad: str,
