@@ -36,6 +36,16 @@ def main():
     ap.add_argument("--niter", type=int, default=10)
     ap.add_argument("--chunk", type=int, default=5)
     ap.add_argument("--quad", default="plane", choices=["arc", "plane"])
+    ap.add_argument("--prealign", default="none",
+                    choices=["none", "cc", "com"],
+                    help="tpu mode: pre-align the jittered views before "
+                         "CGLS (cc = reference-style sequential pairwise "
+                         "subpixel chain, align_cc.py:27-38; com = "
+                         "sinogram first-moment consistency) and record "
+                         "the BASELINE north-star 'wall-clock to aligned "
+                         "512^3 CGLS recon' (reconstruct with ESTIMATED "
+                         "params; 'none' reconstructs with the true "
+                         "params — pure throughput)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or (f"docs/convergence/config5_{args.mode}.json")
@@ -108,7 +118,42 @@ def main():
         print(f"[gen] {n_proj} views in {rec['t_datagen_s']:.1f}s "
               f"({rec['datagen_proj_per_s']:.1f} proj/s incl compile)",
               flush=True)
-        gstruct, scalars = sp.scalar_groups(geom, views, args.quad)
+        views_rec = views
+        if args.prealign != "none":
+            # estimate per-view (tx, tz) from the jittered sinogram and
+            # reconstruct with the ESTIMATE: the recorded total is the
+            # BASELINE north-star "wall-clock to aligned 512^3 CGLS
+            # recon" (pre-alignment + solver, end to end on one chip)
+            t0 = time.perf_counter()
+            if args.prealign == "com":
+                from tomojax.align import com_align
+                est = np.asarray(com_align(proj, geom, phi))
+                est_tx, est_tz = est[:, 0], est[:, 1]
+            else:
+                from tomojax.align import cross_correlation_chain
+                sino = jnp.asarray(proj).reshape(n_proj, n, n)
+                offsets, _ = cross_correlation_chain(sino)
+                offsets = np.asarray(offsets)
+                # chain offsets are relative to view 0; the mean is a
+                # pure gauge/COR component (see scripts/config3_256.py)
+                est_tx = offsets[:, 0] - offsets[:, 0].mean()
+                est_tz = offsets[:, 1] - offsets[:, 1].mean()
+            rec["t_prealign_s"] = time.perf_counter() - t0
+            err_tx = est_tx - t[:, 0]
+            c, s = np.cos(phi), np.sin(phi)
+            A = np.stack([c, s], 1)
+            coef, *_ = np.linalg.lstsq(A, err_tx, rcond=None)
+            rec["prealign_tx_gc_mean"] = float(
+                np.abs(err_tx - A @ coef).mean())
+            rec["prealign_tz_gc_mean"] = float(np.abs(
+                (est_tz - t[:, 2]) - (est_tz - t[:, 2]).mean()).mean())
+            t_est = np.zeros((n_proj, 3), np.float32)
+            t_est[:, 0], t_est[:, 2] = est_tx, est_tz
+            views_rec = Views.create(n_proj, phi=phi, t=t_est)
+            print(f"[{args.prealign}] {rec['t_prealign_s']:.1f}s "
+                  f"tx gc-mean {rec['prealign_tx_gc_mean']:.3e} px",
+                  flush=True)
+        gstruct, scalars = sp.scalar_groups(geom, views_rec, args.quad)
         x = jnp.zeros(geom.vox_shape, jnp.float32)
         t0 = time.perf_counter()
         done = 0
@@ -128,6 +173,14 @@ def main():
         pn = np.asarray(vol, np.float64)
         rec["vol_rel_l2"] = float(
             np.linalg.norm(xn - pn) / np.linalg.norm(pn))
+        if args.prealign != "none":
+            # BASELINE north-star: wall-clock to aligned 512^3 CGLS recon
+            rec["wall_to_aligned_recon_s"] = (rec["t_prealign_s"]
+                                              + rec["t_cgls_s"])
+            print(f"[north-star] aligned {n}^3 CGLS recon in "
+                  f"{rec['wall_to_aligned_recon_s']:.1f}s "
+                  f"({args.prealign} pre-align + {args.niter} CGLS)",
+                  flush=True)
         print(f"[done] cgls {rec['t_cgls_s']:.1f}s "
               f"({rec['cgls_proj_per_s']:.1f} proj/s fwd+adj incl "
               f"compile), rel-L2 {rec['vol_rel_l2']:.4f}", flush=True)
