@@ -56,8 +56,37 @@ def _coords(shape):
     return np.stack([g.ravel() for g in grids])  # (3, n_vox)
 
 
+def _ellipsoid_bbox(row, axes):
+    """Conservative per-axis index bounds of one ellipsoid's support.
+
+    The inside test below is |diag(1/a,1/b,1/c) (R x - t)| <= 1, i.e. the
+    support is {R^T (D u + t) : |u| <= 1} with D = diag(a, b, c); its
+    axis-i extent is center sum_j R[j,i] t_j ± sum_j |R[j,i] d_j| (box
+    bound — a superset of the ball bound, so always safe).  Returns
+    [lo, hi) index slices into the global ``linspace(-1, 1, n)`` grids,
+    padded by one sample against floating-point edge effects.
+    """
+    A, a, b, c, x0, y0, z0, phi_d, th_d, psi_d = row
+    R = _euler_zxz(phi_d, th_d, psi_d)
+    d = np.array([a, b, c])
+    t = np.array([x0, y0, z0])
+    center = R.T @ t
+    half = np.abs(R.T * d[None, :]).sum(axis=1)
+    sls = []
+    for i, g in enumerate(axes):
+        lo = int(np.searchsorted(g, center[i] - half[i])) - 1
+        hi = int(np.searchsorted(g, center[i] + half[i])) + 1
+        sls.append(slice(max(lo, 0), min(hi, len(g))))
+    return sls
+
+
 def phantom(shape, params, dtype=np.float32):
     """Accumulate ellipsoids over a [-1,1]^3 grid.
+
+    Each ellipsoid is evaluated only on its bounding sub-box (exact: the
+    per-voxel arithmetic is identical to a full-grid evaluation, the
+    coordinate set is just sliced from the same global ``linspace``), which
+    makes 512^3 generation seconds instead of minutes.
 
     :param shape: (nx, ny, nz)
     :param params: (n_ellipsoids, 10) array, columns
@@ -67,15 +96,20 @@ def phantom(shape, params, dtype=np.float32):
     if len(shape) == 1:
         shape = shape * 3
     out = np.zeros(shape, dtype=dtype)
-    coords = _coords(shape)
+    axes = [np.linspace(-1.0, 1.0, n) for n in shape]
     for row in np.asarray(params):
         A, a, b, c, x0, y0, z0, phi_d, th_d, psi_d = row
         R = _euler_zxz(phi_d, th_d, psi_d)
+        sx, sy, sz = _ellipsoid_bbox(row, axes)
+        grids = np.meshgrid(axes[0][sx], axes[1][sy], axes[2][sz],
+                            indexing="ij")
+        sub_shape = grids[0].shape
+        coords = np.stack([g.ravel() for g in grids])
         p = R @ coords
         p -= np.array([[x0], [y0], [z0]])
         p /= np.array([[a], [b], [c]])
-        inside = (p**2).sum(axis=0) <= 1.0
-        out.ravel()[inside] += dtype(A)
+        inside = ((p**2).sum(axis=0) <= 1.0).reshape(sub_shape)
+        out[sx, sy, sz] += np.where(inside, dtype(A), dtype(0)).astype(dtype)
     return out
 
 
