@@ -34,7 +34,10 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--views", type=int, default=1024)
     ap.add_argument("--niter", type=int, default=10)
-    ap.add_argument("--chunk", type=int, default=5)
+    ap.add_argument("--chunk", type=int, default=2,
+                    help="CGLS iterations per device program (3+ at "
+                         "512^3/1024 views exceeds the axon runtime's "
+                         "~2-3 min program-execution kill limit)")
     ap.add_argument("--quad", default="plane", choices=["arc", "plane"])
     ap.add_argument("--prealign", default="none",
                     choices=["none", "cc", "com"],
@@ -108,7 +111,7 @@ def main():
         assert rel < 1e-5, rel
     else:
         from tomojax.core import phantom
-        from tomojax.align.pipeline import _slab_recon_prog
+        from tomojax.align.pipeline import _slab_cgls_chunk_progs
         vol = jnp.asarray(phantom.shepp3d(n).astype(np.float32))
         t0 = time.perf_counter()
         proj = sp.project(vol, geom, views, quad=args.quad)
@@ -153,20 +156,31 @@ def main():
             print(f"[{args.prealign}] {rec['t_prealign_s']:.1f}s "
                   f"tx gc-mean {rec['prealign_tx_gc_mean']:.3e} px",
                   flush=True)
+        # state-carrying chunked CGLS: the axon runtime kills single
+        # device programs after ~2-3 min (3 iterations at 512³/1024 views
+        # die, 2 survive — scripts/config5_bisect.py), so each program
+        # advances the CGLSState by --chunk iterations and the host loop
+        # threads the state through (true conjugacy, no restarts)
         gstruct, scalars = sp.scalar_groups(geom, views_rec, args.quad)
-        x = jnp.zeros(geom.vox_shape, jnp.float32)
+        init_prog, step_prog = _slab_cgls_chunk_progs(
+            geom, args.quad, args.chunk, args.niter, gstruct, "float32")
+        b = proj.reshape(n_proj, -1)
         t0 = time.perf_counter()
-        done = 0
-        while done < args.niter:
-            nit = min(args.chunk, args.niter - done)
-            prog = _slab_recon_prog(geom, args.quad, "cgls", nit, False,
-                                    gstruct, "float32")
-            x, rms_arr, n_it = prog(x, proj.reshape(n_proj, -1), scalars)
-            jax.block_until_ready(x)
-            done += nit
-            print(f"[cgls] {done}/{args.niter} "
-                  f"t={time.perf_counter()-t0:.1f}s", flush=True)
+        state = init_prog(jnp.zeros(geom.vox_shape, jnp.float32), b,
+                          scalars)
+        jax.block_until_ready(state.x)
+        convs = []
+        while int(state.k) < args.niter and int(state.stop) == 0:
+            state, conv, _ = step_prog(state, b, scalars)
+            jax.block_until_ready(state.x)
+            convs.append(np.asarray(conv))
+            print(f"[cgls] {int(state.k)}/{args.niter} "
+                  f"t={time.perf_counter()-t0:.1f}s "
+                  f"conv={float(state.conv_prev):.4e}", flush=True)
+        x = state.x
         rec["t_cgls_s"] = time.perf_counter() - t0
+        rec["cgls_conv"] = [float(v) for v in
+                            np.concatenate(convs)[:int(state.k)]]
         # CGLS does fwd+adjoint per iteration: proj/s on the fused chain
         rec["cgls_proj_per_s"] = n_proj * args.niter / rec["t_cgls_s"]
         xn = np.asarray(x, np.float64)

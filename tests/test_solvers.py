@@ -40,6 +40,35 @@ def test_cgls_converges(problem):
     assert conv[-1] < conv[0] * 1e-2
 
 
+def test_cgls_chunked_state_matches_single_shot(problem):
+    """Host-chunked cgls_steps (state threaded through) == one cgls().
+
+    The carrier for the 512³ config-5 run, where the axon runtime kills
+    programs holding >2 iterations — conjugacy must survive the chunk
+    boundaries exactly."""
+    from tomojax.recon import cgls_init, cgls_steps
+    vol, geom, views, op, b = problem
+    niter = 12
+    ref = cgls(op, b, niter=niter)
+
+    state = cgls_init(op, b)
+    convs = []
+    step = jax.jit(lambda s: cgls_steps(op, b, s, nsteps=5, niter=niter))
+    while int(state.k) < niter and int(state.stop) == 0:
+        state, conv, _ = step(state)
+        got = int(state.k) - (len(convs) * 5)
+        convs.append(np.asarray(conv)[:got])
+    conv = np.concatenate(convs)
+    assert int(state.k) == int(ref.n_iter)
+    # identical recursion; differs only by jit-boundary rounding, which
+    # f32 CG amplifies along ill-conditioned directions (measured 8e-7
+    # rel standalone, ~3e-4 under the x64/8-device test env)
+    assert _rel_err(state.x, ref.x) < 2e-3
+    np.testing.assert_allclose(conv[: int(state.k)],
+                               np.asarray(ref.convergence)[: int(ref.n_iter)],
+                               rtol=1e-2)
+
+
 @pytest.mark.slow
 def test_cgls_ground_truth_metric(problem):
     vol, geom, views, op, b = problem

@@ -71,6 +71,47 @@ def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
 
 
 @functools.lru_cache(maxsize=8)
+def _slab_cgls_chunk_progs(geom: Geometry, quad: str, nsteps: int,
+                           niter: int, gstruct, dtype_str: str):
+    """State-carrying CGLS programs: ``(init, step)``.
+
+    The axon runtime kills single device programs after ~2-3 min of
+    execution (measured: 3 CGLS iterations at 512³/1024 views die, 2
+    survive). ``step`` advances the full :class:`~tomojax.recon.cgls.
+    CGLSState` by ``nsteps`` iterations per program, and the host loop
+    threads the state through — true conjugacy across programs, unlike
+    restarting :func:`_slab_recon_prog` with ``x0=x`` per chunk.
+    Replaces the reference's unbounded serial loop ``cgls.py:26-104`` /
+    ``cgls_mpi.py:8`` at scales where one program cannot hold the whole
+    solve."""
+    from tomojax.core import slab_projector as sp
+    from tomojax.recon.cgls import cgls_init, cgls_steps
+    dtype = jnp.dtype(dtype_str)
+
+    def make_op(scalars):
+        def A(x):
+            return sp.project_scalars(x, geom, gstruct, scalars, quad,
+                                      dtype=dtype)
+
+        def AT(y):
+            return sp.backproject_scalars(y, geom, gstruct, scalars, quad,
+                                          dtype=dtype)
+
+        return TomoOperator(geom=geom, views=None, A=A, AT=AT,
+                            family="slab" if quad == "arc" else "slab_plane",
+                            dtype=dtype)
+
+    def init(x0, b, scalars):
+        return cgls_init(make_op(scalars), b, x0)
+
+    def step(state, b, scalars):
+        return cgls_steps(make_op(scalars), b, state, nsteps=nsteps,
+                          niter=niter)
+
+    return jax.jit(init), jax.jit(step)
+
+
+@functools.lru_cache(maxsize=8)
 def _exact_fwd_prog(geom: Geometry, dtype_str: str):
     """Jitted exact-family forward for one view chunk (debias stage)."""
     from tomojax.core import projector

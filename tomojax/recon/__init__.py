@@ -1,4 +1,5 @@
-from tomojax.recon.cgls import cgls, CGLSResult
+from tomojax.recon.cgls import (cgls, cgls_init, cgls_steps, CGLSResult,
+                                CGLSState)
 from tomojax.recon.sirt import sirt, SIRTResult
 from tomojax.recon.tikhonov import tikhonov_gd, TikhonovResult
 from tomojax.recon.lasso import lasso_ista, lasso_fista, LassoResult
@@ -6,7 +7,8 @@ from tomojax.recon.fista_tv import fista_tv, FistaTVResult
 from tomojax.recon import tv
 
 __all__ = [
-    "cgls", "CGLSResult", "sirt", "SIRTResult", "tikhonov_gd",
+    "cgls", "cgls_init", "cgls_steps", "CGLSResult", "CGLSState",
+    "sirt", "SIRTResult", "tikhonov_gd",
     "TikhonovResult", "lasso_ista", "lasso_fista", "LassoResult",
     "fista_tv", "FistaTVResult", "tv",
 ]
