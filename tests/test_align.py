@@ -584,6 +584,79 @@ def test_moment_match_measures_translation_error():
     assert np.abs(res_tz_gc).mean() < 1e-3, np.abs(res_tz_gc).mean()
 
 
+def test_moment_match_device_f32_matches_f64_oracle():
+    """moment_match is device-side and jittable (round-3 VERDICT item 6);
+    its f32 path (centered coordinates) must stay well below the 1e-4 px
+    alignment target vs an uncentered host-f64 oracle."""
+    from tomojax.align import moment_match
+    nu = nv = 128
+    n_proj = 24
+    rng = np.random.default_rng(7)
+    # smooth positive blobs, like real sinograms
+    u = np.arange(nu)[None, :, None]
+    v = np.arange(nv)[None, None, :]
+    cu = rng.uniform(40, 88, (n_proj, 1, 1))
+    cv = rng.uniform(40, 88, (n_proj, 1, 1))
+    meas = np.exp(-((u - cu) ** 2 + (v - cv) ** 2) / 200.0)
+    synth = np.exp(-((u - cu - 0.37) ** 2 + (v - cv + 0.81) ** 2) / 190.0)
+
+    def oracle(m, s):
+        mm = m.astype(np.float64)
+        ss = s.astype(np.float64)
+
+        def com(p):
+            mass = p.sum(axis=(1, 2))
+            return ((p * u).sum(axis=(1, 2)) / mass,
+                    (p * v).sum(axis=(1, 2)) / mass)
+
+        mu_, mv_ = com(mm)
+        su_, sv_ = com(ss)
+        return np.stack([su_ - mu_, sv_ - mv_], 1)
+
+    ref = oracle(meas, synth)
+    x64_was = jax.config.jax_enable_x64
+    try:
+        jax.config.update("jax_enable_x64", False)
+        got = np.asarray(jax.jit(
+            lambda a, b: moment_match(a, b, (nu, nv)))(
+                jnp.asarray(meas, jnp.float32),
+                jnp.asarray(synth, jnp.float32)))
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+    # measured f32 floor ~2.4e-5 px at 128² — 4x below the 1e-4 target
+    assert np.abs(got - ref).max() < 5e-5, np.abs(got - ref).max()
+
+
+def test_com_align_device_matches_host_lstsq():
+    """com_align's harmonic-span fit runs on device via a baked-in f64
+    projector; it must match the old host np.linalg.lstsq path."""
+    from tomojax.align import com_align
+    n, n_proj = 32, 40
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    rng = np.random.default_rng(11)
+    phi = np.linspace(0, np.pi, n_proj, endpoint=False)
+    u = np.arange(n)[None, :, None]
+    v = np.arange(n)[None, None, :]
+    cu = 16 + 4 * np.cos(phi)[:, None, None] + \
+        rng.uniform(-1, 1, n_proj)[:, None, None]
+    cv = 16 + rng.uniform(-1, 1, n_proj)[:, None, None]
+    proj = np.exp(-((u - cu) ** 2 + (v - cv) ** 2) / 30.0)
+
+    est = np.asarray(com_align(proj.reshape(n_proj, -1), geom, phi),
+                     np.float64)
+    # host-f64 oracle of the same estimator
+    p = np.maximum(proj, 0.0)
+    mass = p.sum(axis=(1, 2))
+    u_com = (p * u).sum(axis=(1, 2)) / mass
+    v_com = (p * v).sum(axis=(1, 2)) / mass
+    basis = np.stack([np.ones_like(phi), np.cos(phi), np.sin(phi)], 1)
+    coef, *_ = np.linalg.lstsq(basis, u_com, rcond=None)
+    ref_tx = basis @ coef - u_com
+    ref_tz = v_com.mean() - v_com
+    assert np.abs(est[:, 0] - ref_tx).max() < 1e-4
+    assert np.abs(est[:, 1] - ref_tz).max() < 1e-4
+
+
 def test_align_reconstruct_moment_hook_kills_constant_tx():
     """Pipeline moment hook: a coherent constant-tx ground-truth component
     (non-gauge; per-view LM alone contracts it at ~0.99/outer) is removed

@@ -251,3 +251,43 @@ def test_fwd_kernel_deriv_variants_match_xla():
         num = np.linalg.norm(ker - ref)
         den = max(np.linalg.norm(ref), 1e-6)
         assert num / den < 2e-3, (kw, num / den)
+
+
+def test_band_budget_excursion_contract(monkeypatch):
+    """Pins the warn-and-clip policy of ``scalar_groups`` (round-3 VERDICT
+    item 4, ``core/slab_projector.py`` band-budget routing):
+
+    - at the refinement box corner (±3 px, ±0.02 rad — the pipeline's
+      default bounds, reference ``align_rigid.py:48``) the budget is
+      exceeded, scalar_groups WARNS, keeps the kernel on, and the clipped
+      kernel stays within 1% per-view of the XLA path;
+    - ``strict_bounds=True`` demotes the offending group to XLA instead.
+    """
+    monkeypatch.setenv("TOMOJAX_SLAB_KERNEL", "interpret")
+    n = 64
+    n_proj = 4
+    geom = Geometry(n_proj=n_proj, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n), F32)
+    # box-corner views: every one at the refinement bounds' corner
+    views = Views.create(
+        n_proj, phi=0.55 + np.linspace(0, 0.5, n_proj),
+        alpha=np.full(n_proj, 0.02), beta=np.full(n_proj, 0.02),
+        t=np.tile(np.array([3.0, 0.0, 3.0]), (n_proj, 1)))
+
+    with pytest.warns(UserWarning, match="band budget"):
+        gstruct, scalars = sp.scalar_groups(geom, views, "arc")
+    assert any(g[4] for g in gstruct), "kernel must stay on (clip policy)"
+
+    sino_k = np.asarray(sp.project_scalars(vol, geom, gstruct, scalars,
+                                           "arc"))
+    gs_x, sc_x = sp.scalar_groups(geom, views, "arc", strict_bounds=True)
+    assert not any(g[4] for g in gs_x), \
+        "strict_bounds must demote the out-of-budget group to XLA"
+    sino_x = np.asarray(sp.project_scalars(vol, geom, gs_x, sc_x, "arc"))
+
+    # per-view clipped-kernel error vs the XLA path: the scalar_groups
+    # docstring claims <=1%; pin it
+    for i in range(n_proj):
+        num = np.linalg.norm(sino_k[i] - sino_x[i])
+        den = max(np.linalg.norm(sino_x[i]), 1e-6)
+        assert num / den < 0.01, (i, num / den)

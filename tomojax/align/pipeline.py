@@ -238,15 +238,18 @@ def _project_out_gauge(dmom, phi):
     (measured: a persistent ~1.6e-2 px tz limit cycle at 64³ that froze
     the tilt refinement and broke Aitken's contraction assumption).
     Projecting the 3-dim gauge out keeps only the physically meaningful
-    per-view error signal."""
-    dmom = np.asarray(dmom, np.float64).copy()
-    c, s = np.cos(np.asarray(phi, np.float64)), \
-        np.sin(np.asarray(phi, np.float64))
-    A = np.stack([c, s], 1)
-    coef, *_ = np.linalg.lstsq(A, dmom[:, 0], rcond=None)
-    dmom[:, 0] -= A @ coef
-    dmom[:, 1] -= dmom[:, 1].mean()
-    return dmom
+    per-view error signal.
+
+    Jittable (device 2×2 normal-equations solve; phi may be a traced
+    per-view estimate when the φ parameter is being refined)."""
+    dmom = jnp.asarray(dmom)
+    c, s = jnp.cos(jnp.asarray(phi, dmom.dtype)), \
+        jnp.sin(jnp.asarray(phi, dmom.dtype))
+    A = jnp.stack([c, s], 1)
+    coef = jnp.linalg.solve(A.T @ A, A.T @ dmom[:, 0])
+    du = dmom[:, 0] - A @ coef
+    dv = dmom[:, 1] - jnp.mean(dmom[:, 1])
+    return jnp.stack([du, dv], 1)
 
 
 def aitken_extrapolate(th0, th1, th2, lo, hi, mask, gain_cap=100.0):
@@ -655,17 +658,18 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                                   dtype, debias_chunk)
             dmom = moment_match(proj_work, synth, geom.det_shape)
             dmom = _project_out_gauge(dmom, views.phi)
-            th = np.asarray(theta, np.float64)
+            th = theta.astype(dmom.dtype)
             if mask[0]:
-                th[:, 0] += dmom[:, 0]
+                th = th.at[:, 0].add(dmom[:, 0])
             if mask[2]:
-                th[:, 2] += dmom[:, 1]
-            th = np.clip(th, np.asarray(lo, np.float64),
-                         np.asarray(hi, np.float64))
-            theta = jnp.asarray(th, dtype)
+                th = th.at[:, 2].add(dmom[:, 1])
+            th = jnp.clip(th, jnp.asarray(lo, dmom.dtype),
+                          jnp.asarray(hi, dmom.dtype))
+            theta = th.astype(dtype)
             views = Views.from_theta6(theta, cor=views.cor)
-            hb(f"outer {it}: moment match |dtx|={np.abs(dmom[:, 0]).mean():.2e} "
-               f"|dtz|={np.abs(dmom[:, 1]).mean():.2e}")
+            hb(f"outer {it}: moment match "
+               f"|dtx|={float(jnp.abs(dmom[:, 0]).mean()):.2e} "
+               f"|dtz|={float(jnp.abs(dmom[:, 1]).mean()):.2e}")
 
         if accel_period:
             th_hist.append(np.asarray(theta, np.float64))

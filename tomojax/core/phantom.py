@@ -49,13 +49,6 @@ def _euler_zxz(phi_deg, theta_deg, psi_deg):
     )
 
 
-def _coords(shape):
-    grids = np.meshgrid(
-        *[np.linspace(-1.0, 1.0, n) for n in shape], indexing="ij"
-    )
-    return np.stack([g.ravel() for g in grids])  # (3, n_vox)
-
-
 def _ellipsoid_bbox(row, axes):
     """Conservative per-axis index bounds of one ellipsoid's support.
 
