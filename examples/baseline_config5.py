@@ -163,15 +163,16 @@ def main():
         # threads the state through (true conjugacy, no restarts)
         gstruct, scalars = sp.scalar_groups(geom, views_rec, args.quad)
         init_prog, step_prog = _slab_cgls_chunk_progs(
-            geom, args.quad, args.chunk, args.niter, gstruct, "float32")
+            geom, args.quad, args.chunk, gstruct, "float32")
         b = proj.reshape(n_proj, -1)
         t0 = time.perf_counter()
         state = init_prog(jnp.zeros(geom.vox_shape, jnp.float32), b,
                           scalars)
         jax.block_until_ready(state.x)
         convs = []
+        niter = jnp.int32(args.niter)
         while int(state.k) < args.niter and int(state.stop) == 0:
-            state, conv, _ = step_prog(state, b, scalars)
+            state, conv, _ = step_prog(state, b, scalars, niter)
             jax.block_until_ready(state.x)
             convs.append(np.asarray(conv))
             print(f"[cgls] {int(state.k)}/{args.niter} "

@@ -72,7 +72,7 @@ def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
 
 @functools.lru_cache(maxsize=8)
 def _slab_cgls_chunk_progs(geom: Geometry, quad: str, nsteps: int,
-                           niter: int, gstruct, dtype_str: str):
+                           gstruct, dtype_str: str):
     """State-carrying CGLS programs: ``(init, step)``.
 
     The axon runtime kills single device programs after ~2-3 min of
@@ -104,7 +104,9 @@ def _slab_cgls_chunk_progs(geom: Geometry, quad: str, nsteps: int,
     def init(x0, b, scalars):
         return cgls_init(make_op(scalars), b, x0)
 
-    def step(state, b, scalars):
+    def step(state, b, scalars, niter):
+        # niter is traced (a while_loop bound, not a shape) so deeper
+        # runs reuse the same compiled program
         return cgls_steps(make_op(scalars), b, state, nsteps=nsteps,
                           niter=niter)
 
