@@ -108,3 +108,56 @@ def test_families_agree_on_smooth_volume():
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel < 0.2, rel
     assert abs(a.sum() - b.sum()) / abs(b.sum()) < 0.02
+
+
+def test_voxel_jacobian_consistent_with_ray_family():
+    """Cross-family Jacobian consistency on a common view (round-3
+    VERDICT item 5).
+
+    At alpha = beta = 0, t = 0 the two rigid parameterizations describe
+    the same projection, with the ray path transforming the RAYS
+    (source/detector grids, ``ray_voxel_utilities.py:6-12``) — the
+    inverse of the voxel path's volume transform
+    (``voxel_utilities.py:6-20``) — and its translation applied before
+    the tomographic rotation. Hence (verified empirically by
+    least-squares fitting jr rows against jv rows):
+
+        J_ray[tx] = -(cos(phi) J_vox[tx] + sin(phi) J_vox[ty])
+        J_ray[tz] = -J_vox[tz],   J_ray[phi] = +J_vox[phi].
+
+    The raw fields differ strongly (ray-driven trilinear vs voxel-driven
+    splat: the splat's derivative carries voxel-scale aliasing — the
+    same ~0.6 scale shows up between the two forwards' phi finite
+    differences), so the invariant pinned here is the LOW-PASS content:
+    Gaussian-smoothed fields agree to ~2-16% where a sign or mapping
+    error would give ~200%."""
+    from scipy.ndimage import gaussian_filter
+    n = 32
+    # smooth Gaussian blob: discretization error is tiny away from edges
+    g = np.arange(n) - (n - 1) / 2
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    vol = np.exp(-(X**2 + (Y * 1.3)**2 + (Z * 0.8)**2)
+                 / (2 * (n / 6.0) ** 2)).astype(np.float64)
+    geom = Geometry(n_proj=1, vox_shape=(n, n, n), det_shape=(n, n))
+    phi = 0.4
+    z = jnp.asarray(0.0, F64)
+    t0 = jnp.zeros(3, F64)
+    cor = jnp.zeros(3, F64)
+    volj = jnp.asarray(vol)
+
+    _, jr = ray.forward_view_jac(volj, geom, jnp.asarray(phi, F64), z, z,
+                                 t0, cor, dtype=F64)
+    _, jv = vox.forward_view_jac(volj, geom, jnp.asarray(phi, F64), z, z,
+                                 t0, cor, dtype=F64)
+    jr = np.asarray(jr).reshape(6, n, n)
+    jv = np.asarray(jv).reshape(6, n, n)
+    c, s = np.cos(phi), np.sin(phi)
+
+    def rel(a, b):
+        a = gaussian_filter(a, 2.0)
+        b = gaussian_filter(b, 2.0)
+        return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+    assert rel(jr[0], -(c * jv[0] + s * jv[1])) < 0.2
+    assert rel(jr[2], -jv[2]) < 0.25
+    assert rel(jr[3], jv[3]) < 0.1

@@ -753,19 +753,21 @@ def forward_from_scalars_xla(vol_or, sc_row, geom: Geometry, quad: str,
     return _forward_oriented_xla(vol_or, p, geom, quad=quad, dtype=dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _apply_kernel(vol_or, scalars, geom, quad):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _apply_kernel(vol_or, scalars, geom, quad, prec=None):
     from tomojax.kernels import slab as slabk
-    return slabk.slab_project_pallas(vol_or, scalars, geom, quad)
+    return slabk.slab_project_pallas(vol_or, scalars, geom, quad,
+                                     prec=prec)
 
 
-def _apply_kernel_fwd(vol_or, scalars, geom, quad):
-    return _apply_kernel(vol_or, scalars, geom, quad), scalars
+def _apply_kernel_fwd(vol_or, scalars, geom, quad, prec=None):
+    return _apply_kernel(vol_or, scalars, geom, quad, prec), scalars
 
 
-def _apply_kernel_bwd(geom, quad, scalars, g):
+def _apply_kernel_bwd(geom, quad, prec, scalars, g):
     from tomojax.kernels import slab as slabk
-    vol_bar = slabk.slab_backproject_pallas(g, scalars, geom, quad)
+    vol_bar = slabk.slab_backproject_pallas(g, scalars, geom, quad,
+                                            prec=prec)
     return vol_bar, jnp.zeros_like(scalars)
 
 
@@ -785,7 +787,7 @@ def _orient_groups(views: Views, geom: Geometry):
 
 @functools.lru_cache(maxsize=64)
 def _public_apply_prog(geom: Geometry, gstruct, quad: str, dtype_str: str,
-                       views_chunk, adjoint: bool):
+                       views_chunk, adjoint: bool, prec: str = "f32x2"):
     """One jitted whole-apply program per (geometry, group structure).
 
     The public :func:`project`/:func:`backproject` route through this so
@@ -798,16 +800,18 @@ def _public_apply_prog(geom: Geometry, gstruct, quad: str, dtype_str: str,
         def run(sino, scalars):
             return backproject_scalars(sino, geom, gstruct, scalars, quad,
                                        dtype=dtype,
-                                       views_chunk=views_chunk)
+                                       views_chunk=views_chunk, prec=prec)
     else:
         def run(vol, scalars):
             return project_scalars(vol, geom, gstruct, scalars, quad,
-                                   dtype=dtype, views_chunk=views_chunk)
+                                   dtype=dtype, views_chunk=views_chunk,
+                                   prec=prec)
     return jax.jit(run)
 
 
 def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
-            quad: str = "arc", views_chunk: int | None = None):
+            quad: str = "arc", views_chunk: int | None = None,
+            prec: str | None = None):
     """Multi-view slab forward → ``(n_proj, n_det)``.
 
     Views are grouped host-side by orientation (swap, yflip, uflip); each
@@ -818,21 +822,24 @@ def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
     group structure reuses the compilation)."""
     nx, ny, _ = geom.vox_shape
     assert nx == ny, "slab family requires nx == ny (square x-y footprint)"
+    from tomojax.kernels.slab import resolve_prec
     gstruct, scalars = scalar_groups(geom, views, quad, dtype,
                                      strict_bounds=True)
     prog = _public_apply_prog(geom, gstruct, quad, jnp.dtype(dtype).name,
-                              views_chunk, False)
+                              views_chunk, False, resolve_prec(prec))
     return prog(vol, scalars)
 
 
 def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
-                quad: str = "arc", views_chunk: int | None = None):
+                quad: str = "arc", views_chunk: int | None = None,
+                prec: str | None = None):
     """Exact adjoint of :func:`project` (vjp of the linear forward; on the
     Pallas path this is the dedicated transpose kernel)."""
+    from tomojax.kernels.slab import resolve_prec
     gstruct, scalars = scalar_groups(geom, views, quad, dtype,
                                      strict_bounds=True)
     prog = _public_apply_prog(geom, gstruct, quad, jnp.dtype(dtype).name,
-                              views_chunk, True)
+                              views_chunk, True, resolve_prec(prec))
     return prog(jnp.asarray(sino), scalars)
 
 
@@ -906,12 +913,14 @@ def scalar_groups(geom: Geometry, views: Views, quad: str = "arc",
 
 def project_scalars(vol, geom: Geometry, gstruct, scalars,
                     quad: str = "arc", dtype=jnp.float32,
-                    views_chunk: int | None = None):
+                    views_chunk: int | None = None,
+                    prec: str | None = None):
     """Multi-view slab forward with (possibly traced) scalar arguments.
 
     Same math as :func:`project`; ``gstruct`` must come from
     :func:`scalar_groups` (static), ``scalars`` may be traced values of
-    the same shapes."""
+    the same shapes. ``prec`` selects the kernel matmul tier
+    (:func:`tomojax.kernels.slab.resolve_prec`)."""
     n = sum(len(g[0]) for g in gstruct)
     vol = jnp.asarray(vol).astype(dtype).reshape(geom.vox_shape)
     out = jnp.zeros((n, geom.n_det), dtype=dtype)
@@ -919,7 +928,7 @@ def project_scalars(vol, geom: Geometry, gstruct, scalars,
         vol_or = orient_volume(vol, geom, sw, yf)
         if uk:
             sino = _apply_kernel(vol_or, sc.astype(jnp.float32), geom,
-                                 quad).astype(dtype)
+                                 quad, prec).astype(dtype)
         else:
             def f(row):
                 return forward_from_scalars_xla(vol_or, row, geom, quad,
@@ -944,7 +953,8 @@ def project_scalars(vol, geom: Geometry, gstruct, scalars,
 
 def backproject_scalars(sino, geom: Geometry, gstruct, scalars,
                         quad: str = "arc", dtype=jnp.float32,
-                        views_chunk: int | None = None):
+                        views_chunk: int | None = None,
+                        prec: str | None = None):
     """Exact adjoint of :func:`project_scalars` (vjp w.r.t. the volume;
     the Pallas path routes through the dedicated transpose kernel)."""
     n = sum(len(g[0]) for g in gstruct)
@@ -952,7 +962,8 @@ def backproject_scalars(sino, geom: Geometry, gstruct, scalars,
 
     def fwd(v):
         return project_scalars(v, geom, gstruct, scalars, quad,
-                               dtype=dtype, views_chunk=views_chunk)
+                               dtype=dtype, views_chunk=views_chunk,
+                               prec=prec)
 
     _, vjp_fn = jax.vjp(fwd, jnp.zeros(geom.vox_shape, dtype))
     (vol_bar,) = vjp_fn(sino)

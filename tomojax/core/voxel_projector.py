@@ -36,6 +36,24 @@ Deviations (deliberate, documented):
    ``tests/test_voxel_projector.py``.
 
 Parameter order matches the ray family: ``(tx, ty, tz, phi, alpha, beta)``.
+
+Production status (round-4 decision, VERDICT r3 item 5): this family is
+the ORACLE/FALLBACK tier — pure XLA gather/scatter, no Pallas kernel, by
+design. The reference ships ``vox_wt_grad.f90`` as its second compiled
+production kernel; tomojax's production replacement for BOTH reference
+families is the slab family (``core/slab_projector.py`` +
+``kernels/slab.py``), whose arc quadrature is machine-exact vs the exact
+ray family and which owns the fused TPU kernels. A dedicated voxel-splat
+Pallas kernel would duplicate the slab adjoint's role at lower accuracy
+(splat aliasing — see ``tests/test_voxel_projector.py::
+test_voxel_jacobian_consistent_with_ray_family``), so the voxel family
+stays as: (a) the independent cross-check oracle for adjoint/Jacobian
+semantics, (b) the gather-based backprojection reference, (c) the
+x-block volume-sharding demonstrator (``dist.make_volume_sharded_
+operator``). Likewise the explicit COO factory exists only for the ray
+path (``native/tomonative.cpp::ray_sparse_coo_f64``) — a voxel
+``bilinear_sparse`` twin is consciously dropped (matrix-free by design;
+SURVEY §7 decision 1).
 """
 
 from __future__ import annotations

@@ -81,11 +81,16 @@ XPH = 128          # x pad above (windows anchor at their bottom and
 #                    ~|eux|*UCH+NBB of that, the rest reads zero pad)
 UCH = 64           # u-chunk (pass-B matmul LHS granularity)
 VCH = 128          # v-chunk (pass-B weight-tile lanes)
-NBB = 8            # pass-B bands (interval width; m in (2-D, 6+D) for
-#                    the window-bound D < 2, so 0..7 covers with margin).
+NBB = 7            # pass-B bands: needed m ∈ (O-D-1, O+D+3) for the
+#                    interval bound D (see _window_anchor); with O = 2
+#                    that is m ∈ [0, 6] at the D < 2 budget — 7 bands.
+#                    (Round ≤3 used O = 3 / NBB = 8, whose band 0
+#                    satisfies m > O-D-1 = 0 ⇒ hat weight provably zero:
+#                    a dead band costing 8/7 of the selection matmul.)
 #                    The 8-aligned anchor residual picks one of 8
 #                    pre-built selection blocks (see _build_selection) —
 #                    NOT extra bands (that cost 15/8 flops, round <=3a)
+OFB = 2            # pass-B window-anchor offset O above
 XCH_A = 64         # pass-A align-matmul x-chunk rows
 MBA = 7            # pass-A interpolation bands (taps 2 + frac + chunk gzx
 #                    drift + both branches' edz dev + zav drift)
@@ -194,6 +199,35 @@ def _dot16(sel, hi, lo, dims):
             + lax.dot_general(sel, lo, dims, preferred_element_type=f32))
 
 
+def resolve_prec(prec: str | None = None) -> str:
+    """Selection-matmul precision tier.
+
+    ``"f32x2"`` (default): f32 operands split hi/lo into two bf16 MXU
+    passes — ~4e-6 faithful to an f32 matmul (the reference-grade tier;
+    the reference accumulates in f64, ``ray_wt_grad.f90:95-223``, but its
+    *weights* are trilinear hats of f32-rounded positions, so 4e-6 on the
+    gathered values is far inside its own discretization error).
+
+    ``"bf16"``: single bf16 pass — HALF the MXU work of every selection/
+    align/scatter matmul, ~4e-3 per-element faithfulness (measured ~2e-4
+    rel per apply at 256³). The bulk-iteration tier for solvers whose
+    iterates are re-measured against f32 residuals anyway (SIRT, FISTA,
+    early CGLS); pair with a final f32x2 polish (the pipeline's debias
+    stage already runs one).
+    """
+    p = prec or os.environ.get("TOMOJAX_SLAB_PREC", "f32x2")
+    if p not in ("f32x2", "bf16"):
+        raise ValueError(f"unknown slab kernel precision tier {p!r}")
+    return p
+
+
+def _dotp(sel, hi, lo, dims, bf16):
+    if bf16:
+        return lax.dot_general(sel, hi, dims,
+                               preferred_element_type=jnp.float32)
+    return _dot16(sel, hi, lo, dims)
+
+
 class _Scalars:
     """Named access to the per-view scalar vector inside a kernel
     (SMEM permits scalar loads only — index each element)."""
@@ -232,10 +266,11 @@ def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
     bands, and the chunk-relevance predicate.
 
     Interval analysis: with d = X - xc - du*eux in (-D, D),
-    D = |evx|*VCH/2 + |edx|/2, the needed bands are
-    m = d - frac(X) + frac(xc) + frac(eux*du) + {0,1} + O
-      in (O - D - 1, O + D + 3); O = 3 centers them in [0, NBB=8)
-    for D < 2 (enforced by kernel_bounds_ok).
+    D = |evx|*VCH/2 + |edx|/2, the hat-active taps have band index
+    m = tap - floor(xc) - k0 + O = d + frac(xc) + frac(eux*du)
+      + {-1..1} + O in (O - D - 1, O + D + 3); O = OFB = 2 puts them in
+    [0, NBB=7) for D < min(O + 1, NBB - 3 - O) = 2 (enforced by
+    kernel_bounds_ok).
 
     The anchor must track cx_r (m above is anchor-relative), so the low
     T pad covers every anchor a chunk with in-volume samples can need
@@ -249,7 +284,7 @@ def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
     xc = cx_r + u0 * p.eux + (v0 + VCH / 2.0) * p.evx \
         + (p.edx * (float(b) + 0.5) if arc else 0.0)
     relevant = (xc > -(p.eux * (UCH - 1) + 8.0)) & (xc < nx + 8.0)
-    wtp = jnp.floor(xc).astype(jnp.int32) - 3 + XP
+    wtp = jnp.floor(xc).astype(jnp.int32) - OFB + XP
     wtp = jnp.clip(wtp, 0, nx + XP + XPH - WINB)
     w8 = pl.multiple_of((wtp // 8) * 8, 8)
     return w8, wtp - w8, relevant
@@ -257,7 +292,7 @@ def _window_anchor(p, u0, v0, b, cx_r, nx, arc):
 
 def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                 al_ref, *, nx, ny, nz, nu, nv, K, n_steps, arc,
-                deriv=None, jweight=False, rweight=False):
+                deriv=None, jweight=False, rweight=False, bf16=False):
     """Forward: grid (V, C); out block (1, nu, nv) revisited across C.
 
     ``deriv``/``jweight``/``rweight`` select the Jacobian building-block
@@ -277,7 +312,8 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
         out_ref[...] = jnp.zeros(out_ref.shape, f32)
         s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX])
         thi_ref[...] = jnp.zeros(thi_ref.shape, jnp.bfloat16)
-        tlo_ref[...] = jnp.zeros(tlo_ref.shape, jnp.bfloat16)
+        if not bf16:
+            tlo_ref[...] = jnp.zeros(tlo_ref.shape, jnp.bfloat16)
 
     p = _Scalars(sc_ref)
     n_branch = 2 if arc else 1
@@ -307,12 +343,17 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                 dims = (((1,), (0,)), ((), ()))
                 for s in range(n_sides):
                     rows = vol_ref[0, k + s, xc0:xc0 + xch, :]
-                    rhi, rlo = _split16(rows)
-                    al_ref[s, xc0:xc0 + xch, :] = (
-                        lax.dot_general(rhi, selza, dims,
-                                        preferred_element_type=f32)
-                        + lax.dot_general(rlo, selza, dims,
-                                          preferred_element_type=f32))
+                    if bf16:
+                        al_ref[s, xc0:xc0 + xch, :] = lax.dot_general(
+                            rows.astype(jnp.bfloat16), selza, dims,
+                            preferred_element_type=f32)
+                    else:
+                        rhi, rlo = _split16(rows)
+                        al_ref[s, xc0:xc0 + xch, :] = (
+                            lax.dot_general(rhi, selza, dims,
+                                            preferred_element_type=f32)
+                            + lax.dot_general(rlo, selza, dims,
+                                              preferred_element_type=f32))
 
             for b in range(n_branch):
                 # ---- pass-A band combine (VPU): static lane slices of
@@ -331,9 +372,13 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                                 * al[:, m:m + nv]
                         if deriv == "zc":
                             acc = acc * cfb_a
-                        hi, lo = _split16(acc)
-                        thi_ref[s, XP + xc0:XP + xc0 + xch, :] = hi
-                        tlo_ref[s, XP + xc0:XP + xc0 + xch, :] = lo
+                        if bf16:
+                            thi_ref[s, XP + xc0:XP + xc0 + xch, :] = \
+                                acc.astype(jnp.bfloat16)
+                        else:
+                            hi, lo = _split16(acc)
+                            thi_ref[s, XP + xc0:XP + xc0 + xch, :] = hi
+                            tlo_ref[s, XP + xc0:XP + xc0 + xch, :] = lo
 
                 # ---------- pass B + blend + accumulate ----------
                 for uc in range(nu // UCH):
@@ -354,13 +399,14 @@ def _fwd_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                             dims = (((1,), (0,)), ((), ()))
                             bands = []
                             for s in range(n_sides):
-                                bands.append(_dot16(
+                                bands.append(_dotp(
                                     sel,
                                     thi_ref[s, pl.ds(w8, WINB),
                                             vc * VCH:(vc + 1) * VCH],
+                                    None if bf16 else
                                     tlo_ref[s, pl.ds(w8, WINB),
                                             vc * VCH:(vc + 1) * VCH],
-                                    dims))
+                                    dims, bf16))
 
                             du_t = lax.broadcasted_iota(
                                 jnp.int32, (UCH, VCH), 0).astype(f32)
@@ -557,7 +603,7 @@ def _fwd_jac_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
 
 
 def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
-                nx, ny, nz, nu, nv, K, n_steps, arc):
+                nx, ny, nz, nu, nv, K, n_steps, arc, bf16=False):
     """Adjoint: grid (C, V); out block (1, K, nx, NZP) revisited across V.
 
     Target slab t receives side-0 of source r = t and (arc) side-1 of
@@ -633,13 +679,18 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
                                                     + float(m)))
                                     ctg.append(wgt * gg)
                                 ctg = jnp.concatenate(ctg, axis=0)
-                                chi, clo = _split16(ctg)
                                 sel = s_ref[pl.ds(
                                     pl.multiple_of(
                                         a_res * (NBB * UCH), 8),
                                     NBB * UCH), :]
-                                tbar = _dot16(sel, chi, clo,
-                                              (((0,), (0,)), ((), ())))
+                                if bf16:
+                                    chi = ctg.astype(jnp.bfloat16)
+                                    clo = None
+                                else:
+                                    chi, clo = _split16(ctg)
+                                tbar = _dotp(sel, chi, clo,
+                                             (((0,), (0,)), ((), ())),
+                                             bf16)
                                 tbar_ref[pl.ds(w8, WINB),
                                          vc * VCH:(vc + 1) * VCH] += tbar
 
@@ -667,12 +718,18 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
                                         nzp, arc, xch)
                     selza = _build_selza(zoff, nzp, nva)
                     a = aac_ref[xc0:xc0 + xch, :]
-                    ahi, alo = _split16(a)
                     dims = (((1,), (1,)), ((), ()))
-                    sbar = (lax.dot_general(ahi, selza, dims,
-                                            preferred_element_type=f32)
-                            + lax.dot_general(alo, selza, dims,
-                                              preferred_element_type=f32))
+                    if bf16:
+                        sbar = lax.dot_general(
+                            a.astype(jnp.bfloat16), selza, dims,
+                            preferred_element_type=f32)
+                    else:
+                        ahi, alo = _split16(a)
+                        sbar = (lax.dot_general(
+                            ahi, selza, dims, preferred_element_type=f32)
+                            + lax.dot_general(
+                                alo, selza, dims,
+                                preferred_element_type=f32))
                     out_ref[0, k, xc0:xc0 + xch, :] += sbar
 
 
@@ -751,7 +808,8 @@ def kernel_bounds_ok(scalars_np, nv: int = 256) -> bool:
     eux = np.abs(s[:, S_EUX])
     gzx, edz = np.abs(s[:, S_GZX]), np.abs(s[:, S_EDZ])
     zav = np.abs(s[:, S_ZAV] - 1.0)
-    pass_b = (evx * (VCH / 2) + 0.5 * edx <= (NBB - 4) / 2 - 0.05)
+    pass_b = (evx * (VCH / 2) + 0.5 * edx
+              <= min(OFB + 1, NBB - 3 - OFB) - 0.05)
     pass_a = ((XCH_A / 2 + 0.5) * gzx + edz + zav * nvh
               <= (MBA - 3) / 2 - 0.1)
     win = (8 + eux * (UCH - 1) + NBB + 7 <= WINB)
@@ -774,7 +832,8 @@ def _prep_volume(vol_or, C, K, nzk=None):
 
 def slab_project_pallas(vol_or, scalars, geom, quad: str,
                         interpret: bool = False, deriv: str | None = None,
-                        jweight: bool = False, rweight: bool = False):
+                        jweight: bool = False, rweight: bool = False,
+                        prec: str | None = None):
     """Forward-project a batch of same-orientation views.
 
     :param vol_or: oriented volume (nx', ny', nz).
@@ -807,8 +866,9 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
     nu, nv = statics["nu"], statics["nv"]
     NZP = nz + 2 * PADZ
     NXPS = nx + XP + XPH
+    bf16 = resolve_prec(prec) == "bf16"
     kern = functools.partial(_fwd_kernel, deriv=deriv, jweight=jweight,
-                             rweight=rweight, **statics)
+                             rweight=rweight, bf16=bf16, **statics)
     out = pl.pallas_call(
         kern,
         grid=(V, C),
@@ -824,7 +884,9 @@ def slab_project_pallas(vol_or, scalars, geom, quad: str,
         scratch_shapes=[
             pltpu.VMEM((8 * NBB * UCH, WINB), jnp.bfloat16),
             pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
-            pltpu.VMEM((2, NXPS, nv), jnp.bfloat16),
+            # lo-half T unused in the bf16 tier: dummy allocation
+            pltpu.VMEM((2, 8, 128) if bf16 else (2, NXPS, nv),
+                       jnp.bfloat16),
             pltpu.VMEM((2, nx, nv + NVA_PAD), jnp.float32),
         ],
         interpret=interpret,
@@ -891,7 +953,8 @@ def slab_project_jac_pallas(vol_or, scalars, geom,
 
 
 def slab_backproject_pallas(gbar, scalars, geom, quad: str,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            prec: str | None = None):
     """Adjoint: (V, nu, nv) cotangents → oriented volume (nx', ny', nz)."""
     if os.environ.get("TOMOJAX_SLAB_KERNEL") == "interpret":
         interpret = True
@@ -913,7 +976,8 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
         scalars = jnp.concatenate(
             [scalars, jnp.broadcast_to(scalars[:1],
                                        (V - V0,) + scalars.shape[1:])])
-    kern = functools.partial(_adj_kernel, **statics)
+    kern = functools.partial(_adj_kernel,
+                             bf16=resolve_prec(prec) == "bf16", **statics)
     out = pl.pallas_call(
         kern,
         grid=(C, V),
