@@ -58,45 +58,58 @@ def main():
 
     # headline family: the slab-plane kernel beats the round-1 fast
     # family on throughput (37.2 vs 31.9 proj/s fwd+adjoint at 256^3)
-    # with better per-view accuracy; slab-arc (21.4) is the
-    # reference-grade tier
+    # with better per-view accuracy; slab-arc is the reference-grade tier
+    # (TOMOJAX_BENCH_FAMILY=slab). TOMOJAX_BENCH_PREC selects the kernel
+    # matmul tier (f32x2 default; bf16 = the bulk-iteration tier).
     family = os.environ.get("TOMOJAX_BENCH_FAMILY", "slab_plane")
+    prec = os.environ.get("TOMOJAX_BENCH_PREC", "f32x2")
+    from jax import lax
     if family == "fast":
         from tomojax.core import fast_projector as fp
-        fwd = jax.jit(lambda v: fp.project(v, geom, views))
-        adj = jax.jit(lambda y: fp.backproject(y, geom, views))
+        fwd = lambda v: fp.project(v, geom, views)
+        adj = lambda y: fp.backproject(y, geom, views)
     elif family in ("slab", "slab_plane"):
         from tomojax.core import slab_projector as sp
         quad = "arc" if family == "slab" else "plane"
-        fwd = jax.jit(lambda v: sp.project(v, geom, views, quad=quad))
-        adj = jax.jit(lambda y: sp.backproject(y, geom, views, quad=quad))
+        gstruct, scalars = sp.scalar_groups(geom, views, quad)
+        fwd = lambda v: sp.project_scalars(v, geom, gstruct, scalars,
+                                           quad, prec=prec)
+        adj = lambda y: sp.backproject_scalars(y, geom, gstruct, scalars,
+                                               quad, prec=prec)
     else:
-        fwd = jax.jit(lambda v: projector.project(v, geom, views))
-        adj = jax.jit(lambda y: projector.backproject(y, geom.vox_shape,
-                                                      geom, views))
+        fwd = lambda v: projector.project(v, geom, views)
+        adj = lambda y: projector.backproject(y, geom.vox_shape,
+                                              geom, views)
 
-    # one fused device program per rep: iterations chain through a data
-    # dependency (the runtime caches repeated executions with identical
-    # arguments), and the chaining update lives INSIDE jit — an eager
-    # op between reps costs a full tunnel round-trip on axon and was
-    # dominating the measurement (72-134 proj/s run-to-run scatter for a
-    # 234 proj/s operator)
+    # ALL reps chain inside ONE device program (lax.scan with a data
+    # dependency between iterations): production solvers hold many
+    # applies per program (CGLS runs 2 iterations = 4 applies per
+    # program at 512³), so the per-program axon tunnel dispatch
+    # (~20 ms/call measured round 4) is amortized exactly as in real
+    # use. Round-3 benches paid that dispatch once per rep; eager
+    # chaining before that cost a round-trip per OP.
     @jax.jit
-    def step(x, x0):
-        sino = fwd(x)
-        back = adj(sino)
-        return x0 + 1e-30 * back, sino, back
+    def run(x0):
+        def body(x, _):
+            back = adj(fwd(x))
+            return x0 + 1e-30 * back, None
+        out, _ = lax.scan(body, x0, None, length=reps)
+        return out
 
-    x, sino, back = step(vol, vol)
-    jax.block_until_ready((x, sino, back))
+    x = run(vol)
+    jax.block_until_ready(x)
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x, sino, back = step(x, vol)
-    jax.block_until_ready((x, sino, back))
-    dt = time.perf_counter() - t0
+    best = np.inf
+    for _ in range(3):
+        # outer calls chain through x too: identical-argument repeat
+        # executions are result-cached by the axon runtime (measured
+        # round 3)
+        t0 = time.perf_counter()
+        x = run(x)
+        jax.block_until_ready(x)
+        best = min(best, time.perf_counter() - t0)
 
-    proj_per_s = reps * n_proj / dt
+    proj_per_s = reps * n_proj / best
     print(json.dumps({
         "metric": f"projections/sec, {n}^3 volume fwd+adjoint "
                   f"({n_proj} views, {family} matrix-free projector)",

@@ -22,6 +22,31 @@ A ground-up JAX/XLA/Pallas re-design of the capabilities of
 
 __version__ = "0.1.0"
 
+
+def _setup_compilation_cache():
+    """Persist XLA/Mosaic compilations across processes by default.
+
+    Cold compiles through the remote-TPU tunnel cost minutes per program
+    and dominated wall-clock-to-science in rounds 1-3 (config-1 data gen:
+    687 s cold vs 0.05 s warm). Every driver gets the cache just by
+    importing tomojax; ``JAX_COMPILATION_CACHE_DIR`` (the standard env
+    var, read by jax itself) or an explicit ``jax.config.update`` before
+    first compile still wins — we only fill in the default."""
+    import os
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return        # jax reads the env var natively
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+    except Exception:   # pragma: no cover - never block import on this
+        pass
+
+
+_setup_compilation_cache()
+
 from tomojax.core.geometry import Geometry, Views
 from tomojax.core import rotations
 from tomojax.core import phantom

@@ -39,7 +39,8 @@ from tomojax.align.refine import PARAM_SETS, refine_views
 
 @functools.lru_cache(maxsize=16)
 def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
-                     positivity: bool, gstruct, dtype_str: str):
+                     positivity: bool, gstruct, dtype_str: str,
+                     prec: str = "f32x2"):
     """One jitted solver program per (geometry, octant-group structure).
 
     The per-view slab scalars enter as *arguments*, so consecutive outer
@@ -52,11 +53,11 @@ def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
     def run(x0, b, scalars):
         def A(x):
             return sp.project_scalars(x, geom, gstruct, scalars, quad,
-                                      dtype=dtype)
+                                      dtype=dtype, prec=prec)
 
         def AT(y):
             return sp.backproject_scalars(y, geom, gstruct, scalars, quad,
-                                          dtype=dtype)
+                                          dtype=dtype, prec=prec)
 
         op = TomoOperator(geom=geom, views=None, A=A, AT=AT,
                           family="slab" if quad == "arc" else "slab_plane",
@@ -72,7 +73,7 @@ def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
 
 @functools.lru_cache(maxsize=8)
 def _slab_cgls_chunk_progs(geom: Geometry, quad: str, nsteps: int,
-                           gstruct, dtype_str: str):
+                           gstruct, dtype_str: str, prec: str = "f32x2"):
     """State-carrying CGLS programs: ``(init, step)``.
 
     The axon runtime kills single device programs after ~2-3 min of
@@ -91,11 +92,11 @@ def _slab_cgls_chunk_progs(geom: Geometry, quad: str, nsteps: int,
     def make_op(scalars):
         def A(x):
             return sp.project_scalars(x, geom, gstruct, scalars, quad,
-                                      dtype=dtype)
+                                      dtype=dtype, prec=prec)
 
         def AT(y):
             return sp.backproject_scalars(y, geom, gstruct, scalars, quad,
-                                          dtype=dtype)
+                                          dtype=dtype, prec=prec)
 
         return TomoOperator(geom=geom, views=None, A=A, AT=AT,
                             family="slab" if quad == "arc" else "slab_plane",

@@ -59,7 +59,8 @@ def shard_views(views: Views, mesh: Mesh) -> Views:
 
 def make_sharded_operator(geom: Geometry, views: Views, mesh: Mesh, *,
                           dtype=jnp.float32, views_chunk: int | None = None,
-                          family: str = "ray") -> TomoOperator:
+                          family: str = "ray",
+                          prec: str | None = None) -> TomoOperator:
     """Angle(+ray)-sharded matrix-free operator with the reference's MPI
     semantics mapped to XLA collectives. ``n_proj`` must divide the ``proj``
     axis size and ``n_det`` the ``ray`` axis size.
@@ -77,7 +78,8 @@ def make_sharded_operator(geom: Geometry, views: Views, mesh: Mesh, *,
         assert n_rshard == 1, "slab family shards over 'proj' only"
         return _make_slab_sharded(geom, views, mesh, n_pshard,
                                   quad=("arc" if family == "slab"
-                                        else "plane"), dtype=dtype)
+                                        else "plane"), dtype=dtype,
+                                  prec=prec)
 
     if family == "fast":
         assert n_rshard == 1, "fast family shards over 'proj' only"
@@ -164,7 +166,8 @@ def make_sharded_operator(geom: Geometry, views: Views, mesh: Mesh, *,
 
 
 def _make_slab_sharded(geom: Geometry, views: Views, mesh: Mesh,
-                       n_pshard: int, *, quad: str, dtype) -> TomoOperator:
+                       n_pshard: int, *, quad: str, dtype,
+                       prec: str | None = None) -> TomoOperator:
     """Angle-sharded slab-family operator with build-time octant grouping.
 
     Views are grouped host-side by (swap, yflip, uflip) orientation at
@@ -209,7 +212,7 @@ def _make_slab_sharded(geom: Geometry, views: Views, mesh: Mesh,
             vol_or = slabp.orient_volume(vol, geom, sw, yf)
             if use_kernel:
                 return slabk.slab_project_pallas(vol_or, sc_shard, geom,
-                                                 quad)
+                                                 quad, prec=prec)
             f = lambda row: slabp.forward_from_scalars_xla(
                 vol_or, row, geom, quad, dtype)
             return jax.vmap(f)(sc_shard)
@@ -217,7 +220,7 @@ def _make_slab_sharded(geom: Geometry, views: Views, mesh: Mesh,
         def adj_local(g_shard, sc_shard):
             if use_kernel:
                 vol_or_bar = slabk.slab_backproject_pallas(
-                    g_shard, sc_shard, geom, quad)
+                    g_shard, sc_shard, geom, quad, prec=prec)
             else:
                 fwd = lambda v: jax.vmap(
                     lambda row: slabp.forward_from_scalars_xla(

@@ -602,7 +602,7 @@ def _fwd_jac_kernel(sc_ref, vol_ref, out_ref, s_ref, thi_ref, tlo_ref,
                                 out_ref[0, O[name], us, vs] += term
 
 
-def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
+def _adj_kernel(sc_ref, g_ref, sel_ref, out_ref, tbar_ref, aac_ref, *,
                 nx, ny, nz, nu, nv, K, n_steps, arc, bf16=False):
     """Adjoint: grid (C, V); out block (1, K, nx, NZP) revisited across V.
 
@@ -623,9 +623,9 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, f32)
 
-    # per-step selection (view changes every step): r8 folded into bands
-    s_ref[...] = _build_selection(sc_ref[0, 0, S_EUX])
-
+    # the per-view selection one-hots stream in as an input block (the
+    # view changes every grid step here — rebuilding them in-kernel per
+    # step cost ~1.5G VPU ops per apply at 256³/32v)
     p = _Scalars(sc_ref)
     n_branch = 2 if arc else 1
     n_sides = 2 if arc else 1
@@ -679,7 +679,7 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
                                                     + float(m)))
                                     ctg.append(wgt * gg)
                                 ctg = jnp.concatenate(ctg, axis=0)
-                                sel = s_ref[pl.ds(
+                                sel = sel_ref[0, pl.ds(
                                     pl.multiple_of(
                                         a_res * (NBB * UCH), 8),
                                     NBB * UCH), :]
@@ -704,12 +704,12 @@ def _adj_kernel(sc_ref, g_ref, out_ref, s_ref, tbar_ref, aac_ref, *,
                             xch)
                         tapb = (zoff - PADZ).astype(f32) + v_t
                         tb = tbar_ref[XP + xc0:XP + xc0 + xch, :]
-                        acc = jnp.zeros((xch, nva), f32)
+                        # static lane-offset slice accumulation (the old
+                        # jnp.pad per band materialized a full (xch, nva)
+                        # copy each — ~30% extra VPU traffic per apply)
                         for m in range(MBA):
                             wm = _hat(zeta - (tapb + float(m))) * tb
-                            acc += jnp.pad(
-                                wm, ((0, 0), (m, nva - nv - m)))
-                        aac_ref[xc0:xc0 + xch, :] += acc
+                            aac_ref[xc0:xc0 + xch, m:m + nv] += wm
 
                 # ---- pass-A transpose, scatter matmul (branch-shared):
                 # aligned-frame cotangents → volume z ----
@@ -978,6 +978,11 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
                                        (V - V0,) + scalars.shape[1:])])
     kern = functools.partial(_adj_kernel,
                              bf16=resolve_prec(prec) == "bf16", **statics)
+    # per-view selection one-hots built ONCE in XLA (vmapped iota
+    # compare, trivial) and streamed per grid step — the kernel used to
+    # rebuild them on the VPU at every (c, v) step
+    sel_all = jax.vmap(_build_selection)(
+        scalars.astype(jnp.float32)[:, S_EUX])
     out = pl.pallas_call(
         kern,
         grid=(C, V),
@@ -986,12 +991,13 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nu, nv), lambda c, v: (v, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * NBB * UCH, WINB), lambda c, v: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, K, nx, NZP), lambda c, v: (c, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, K, nx, NZP), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8 * NBB * UCH, WINB), jnp.bfloat16),
             pltpu.VMEM((NXPS, nv), jnp.float32),
             pltpu.VMEM((nx, nv + NVA_PAD), jnp.float32),
         ],
@@ -999,7 +1005,7 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(scalars.astype(jnp.float32).reshape(-1, 1, NS),
-      gbar.astype(jnp.float32))
+      gbar.astype(jnp.float32), sel_all)
     nz0 = geom.vox_shape[2]
     vol = out.reshape(C * K, nx, NZP)[:ny, :, PADZ:PADZ + nz0]
     return jnp.transpose(vol, (1, 0, 2))
