@@ -291,3 +291,25 @@ def test_band_budget_excursion_contract(monkeypatch):
         num = np.linalg.norm(sino_k[i] - sino_x[i])
         den = max(np.linalg.norm(sino_x[i]), 1e-6)
         assert num / den < 0.01, (i, num / den)
+
+
+def test_prec_tier_plumbing(monkeypatch):
+    """prec="bf16" threads through the public API, the scalar-argument
+    path, and the solver program cache without retrace errors.
+
+    (On CPU the interpreter computes both tiers identically — XLA elides
+    the bf16 rounding under excess precision — so this is a plumbing
+    test; the accuracy A/B lives on real hardware,
+    scripts/prec_ab.py, measured in docs/STATUS.md round 4.)"""
+    monkeypatch.setenv("TOMOJAX_SLAB_KERNEL", "interpret")
+    n = 16
+    geom = Geometry(n_proj=4, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = jnp.asarray(phantom.shepp3d(n), F32)
+    views = _jittered_views(4, seed=3, jit_px=0.5, jit_rad=0.005,
+                            phi0=0.4)
+    y16 = sp.project(vol, geom, views, quad="plane", prec="bf16")
+    y32 = sp.project(vol, geom, views, quad="plane", prec="f32x2")
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               rtol=2e-2, atol=1e-4)
+    x16 = sp.backproject(y16, geom, views, quad="plane", prec="bf16")
+    assert np.isfinite(np.asarray(x16)).all()

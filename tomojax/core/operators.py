@@ -77,11 +77,14 @@ class TomoOperator:
 
 def make_operator(geom: Geometry, views: Views, *, family: str = "ray",
                   dtype=jnp.float32, views_chunk: int | None = None,
-                  voxel_mask=None) -> TomoOperator:
+                  voxel_mask=None, prec: str | None = None) -> TomoOperator:
     """Build the matrix-free projection operator for a set of views.
 
     :param voxel_mask: optional boolean volume; False voxels are excluded
         from the system (reference ``projection_operators.py:60-70``).
+    :param prec: slab-family kernel matmul tier (``f32x2``/``bf16``, see
+        :func:`tomojax.kernels.slab.resolve_prec`); ignored by other
+        families.
     """
     mask = None
     if voxel_mask is not None:
@@ -126,12 +129,12 @@ def make_operator(geom: Geometry, views: Views, *, family: str = "ray",
             if mask is not None:
                 x = x * mask
             return slabp.project(x, geom, views, dtype=dtype, quad=quad,
-                                 views_chunk=views_chunk)
+                                 views_chunk=views_chunk, prec=prec)
 
         def AT(y):
             out = slabp.backproject(y.reshape(geom.n_proj, geom.n_det),
                                     geom, views, dtype=dtype, quad=quad,
-                                    views_chunk=views_chunk)
+                                    views_chunk=views_chunk, prec=prec)
             return out * mask if mask is not None else out
 
     elif family == "voxel":
