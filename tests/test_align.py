@@ -457,6 +457,7 @@ def test_refine_views_slab_angles():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_align_to_reprojection_bounded_and_com_superior():
     """Characterization of the round-2 advisor finding: at few-view
     configurations the self-reconstruction attenuation is near-total, so
@@ -497,6 +498,7 @@ def test_align_to_reprojection_bounded_and_com_superior():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_debias_defect_fixed_point():
     """Defect correction removes the slab<->exact mismatch bias.
 
@@ -754,6 +756,7 @@ def test_support_mask_covers_object_excludes_corners():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_align_reconstruct_cv_kfold(tmp_path):
     """K-fold CV alternation (pipeline.align_reconstruct_cv): each view is
     refined against a reconstruction of the other K-1 folds' data (the

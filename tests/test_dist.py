@@ -100,6 +100,7 @@ def test_sharded_refine_matches_single(problem):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_sharded_fast_family_matches_single(problem):
     vol, geom, views, op, b = problem
     from tomojax.core.operators import make_operator as mk
@@ -115,6 +116,7 @@ def test_sharded_fast_family_matches_single(problem):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_volume_sharded_voxel_operator(problem):
     # x-axis of the volume sharded over the mesh's second axis — matches
     # the single-device voxel-family operator exactly
@@ -173,6 +175,7 @@ def test_volume_sharded_slab_matches_single_device(problem):
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_volume_sharded_slab_kernel_route(monkeypatch):
     """Volume-sharded slab operator routed through the PALLAS KERNEL
     (interpret mode on the CPU mesh): forward and adjoint must equal the

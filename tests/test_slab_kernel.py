@@ -94,6 +94,7 @@ def test_fwd_kernel_interpret_nonsquare_detector():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_adj_kernel_interpret_transpose_64():
     """Adjoint kernel = exact transpose of the forward kernel (padded
     dims): <A x, y> == <x, A^T y>."""
@@ -182,6 +183,7 @@ def test_fused_jac_kernel_val_px_match_xla():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_fused_jac_kernel_matches_individual_passes():
     """The fused 12-output Jacobian kernel == the twelve per-variant
     kernel launches (same math, shared dataflow): every slice of
@@ -221,6 +223,7 @@ def test_fused_jac_kernel_matches_individual_passes():
 
 
 @pytest.mark.slow
+@pytest.mark.xslow
 def test_fwd_kernel_deriv_variants_match_xla():
     """Jacobian building-block variants (hat-derivative passes + j/r
     sample weights) through the Pallas kernel == the XLA deriv paths."""
