@@ -112,7 +112,8 @@ def main():
     proj_per_s = reps * n_proj / best
     print(json.dumps({
         "metric": f"projections/sec, {n}^3 volume fwd+adjoint "
-                  f"({n_proj} views, {family} matrix-free projector)",
+                  f"({n_proj} views, {family} matrix-free projector, "
+                  f"{prec} kernel tier)",
         "value": round(proj_per_s, 3),
         "unit": "proj/s",
         "vs_baseline": round(proj_per_s / REFERENCE_CPU_PROJ_PER_S, 3),
