@@ -6,8 +6,8 @@
 # manual (scripts/tpu_kernel_check.py --check) because CI machines have
 # no chip.
 #
-# Timed round 4 (idle CPU): quick ~25 min, slow-not-xslow ~8 min,
-# xslow ~25 min.
+# Timed round 4 (idle CPU): quick 15.0 min, slow-not-xslow 5.1 min,
+# xslow ~25 min; 'scripts/ci.sh' green end-to-end in 20.6 min.
 #
 # usage: scripts/ci.sh [--full] [extra pytest args...]
 set -e
