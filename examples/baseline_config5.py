@@ -39,6 +39,10 @@ def main():
                          "512^3/1024 views exceeds the axon runtime's "
                          "~2-3 min program-execution kill limit)")
     ap.add_argument("--quad", default="plane", choices=["arc", "plane"])
+    ap.add_argument("--prec", default="f32x2", choices=["f32x2", "bf16"],
+                    help="kernel matmul tier for the CGLS solve (datagen "
+                         "stays f32x2); bf16 halves the selection-matmul "
+                         "work at ~1e-3 apply accuracy")
     ap.add_argument("--prealign", default="none",
                     choices=["none", "cc", "com"],
                     help="tpu mode: pre-align the jittered views before "
@@ -163,7 +167,7 @@ def main():
         # threads the state through (true conjugacy, no restarts)
         gstruct, scalars = sp.scalar_groups(geom, views_rec, args.quad)
         init_prog, step_prog = _slab_cgls_chunk_progs(
-            geom, args.quad, args.chunk, gstruct, "float32")
+            geom, args.quad, args.chunk, gstruct, "float32", args.prec)
         b = proj.reshape(n_proj, -1)
         t0 = time.perf_counter()
         state = init_prog(jnp.zeros(geom.vox_shape, jnp.float32), b,
