@@ -184,10 +184,20 @@ def main():
                   f"conv={float(state.conv_prev):.4e}", flush=True)
         x = state.x
         rec["t_cgls_s"] = time.perf_counter() - t0
+        if int(state.stop) != 0:
+            print(f"[cgls] WARNING: double-reinit quit at k={int(state.k)}"
+                  f" (stop={int(state.stop)}) — ran fewer than --niter "
+                  "iterations; consider a reinit_tol or the f32x2 tier",
+                  flush=True)
+        rec["cgls_stop"] = int(state.stop)
+        rec["cgls_iters_run"] = int(state.k)
         rec["cgls_conv"] = [float(v) for v in
                             np.concatenate(convs)[:int(state.k)]]
         # CGLS does fwd+adjoint per iteration: proj/s on the fused chain
-        rec["cgls_proj_per_s"] = n_proj * args.niter / rec["t_cgls_s"]
+        # (normalize by iterations actually run, not the budget — the
+        # solver can early-stop on the double-reinit guard)
+        rec["cgls_proj_per_s"] = (n_proj * int(state.k)
+                                  / rec["t_cgls_s"]) if int(state.k) else 0.0
         xn = np.asarray(x, np.float64)
         pn = np.asarray(vol, np.float64)
         rec["vol_rel_l2"] = float(

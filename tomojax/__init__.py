@@ -40,7 +40,8 @@ def _setup_compilation_cache():
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update(
                 "jax_compilation_cache_dir",
-                os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+                os.environ.get("JAX_CACHE_DIR",
+                               os.path.expanduser("~/.jax_cache")))
     except Exception:   # pragma: no cover - never block import on this
         pass
 

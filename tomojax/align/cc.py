@@ -196,8 +196,10 @@ def cross_correlation_filtered(projections, cutoff: int = 4):
 
 def align_to_reprojection(projections, geom, views, *, rounds: int = 2,
                           recon_iters: int = 20, upsample_factor: int = 20,
-                          family: str = "slab_plane", dtype=jnp.float32):
-    """Drift-free translational pre-alignment against reprojections.
+                          family: str = "slab_plane",
+                          folds: int | None = 4, dtype=jnp.float32):
+    """Drift-free translational pre-alignment against reprojections
+    (classical projection matching, made out-of-fold).
 
     The reference's pairwise chain (``align_cc.py:27-38``) registers each
     view to its neighbor, so the rotation-induced component of each pairwise
@@ -207,37 +209,85 @@ def align_to_reprojection(projections, geom, views, *, rounds: int = 2,
     angles — the per-view estimates are independent (no chain), and the
     common-mode (gauge) component is absorbed by the reconstruction itself.
 
-    Alternates ``rounds`` times: SIRT recon with current offsets →
-    reproject → per-view subpixel phase correlation (batched; vmapped
-    matrix-DFT upsampling) → update ``(tx, tz)``. The reconstruction
-    partially absorbs each view's misalignment (it is fit to the
-    misaligned data, including view i itself), so the measured shift is
-    a strongly *attenuated* estimate of the residual.
+    With ``folds=K`` (default 4) each view is registered to the
+    reprojection of a reconstruction built WITHOUT that view's data: the
+    views are split into K interleaved folds (each covering the angular
+    range uniformly) and every fold is phase-correlated against its
+    complement's reconstruction. This removes the self-consistency
+    attenuation that breaks the naive variant — a reconstruction fit to
+    view i's own misaligned data reproduces that misalignment in the
+    reprojection, leaving ~nothing to measure (measured ~0.05
+    pass-through at 32³/24 views with SIRT-10; no gain schedule fixes
+    it, the round-2/round-4 findings). Out-of-fold the iteration
+    actually contracts: ~0.7×/round at 32³/24 views/±2 px (0.98 → 0.39
+    px mean resid in 3 rounds, still descending) where the legacy
+    variant stalls at 0.80 px — the early rounds are slowed by the
+    complement reconstruction being built from still-misaligned views,
+    not by self-attenuation. The leave-out trick is the same
+    estimator-decoupling used by :func:`~tomojax.align.pipeline.
+    align_reconstruct_cv` for gradient refinement.
 
-    .. warning:: EXPERIMENTAL — not exported from ``tomojax.align``.
-       At few-view configurations the self-consistency attenuation is
-       near-total (measured ~0.05 pass-through at 32^3/24 views with
-       SIRT-10: the reprojection of the self-reconstruction reproduces
-       each view's own misalignment), and no gain schedule fixes that —
-       an online secant gain was tried and either overshoots into noise
-       (cap 50) or stalls at ~0.8 px (cap 8), matching the round-2
-       advisor's measurement. The principled fix is a leave-one-out
-       reconstruction per view (n_views× cost). Use :func:`com_align`
-       instead: exact, one-shot, drift-free (<0.2 px in the same
-       scenario). This function remains for the truncated-projection /
-       intensity-variation cases where the COM-consistency condition
-       breaks and many views are available (the classical
-       projection-matching regime).
+    Prefer :func:`com_align` when the data satisfies the first-moment
+    consistency condition (complete untruncated projections): it is
+    exact, one-shot, and cheaper. This function is for the
+    truncated-projection / intensity-variation regimes where COM
+    consistency breaks — the classical projection-matching setting.
+
+    ``folds=None`` keeps the legacy self-consistent variant (one shared
+    reconstruction, secant-gain compensation) for A/B measurement; it
+    stalls at a large fraction of the jitter and is characterized, not
+    recommended (``tests/test_align.py::
+    test_align_to_reprojection_bounded_and_com_superior``).
 
     :returns: (views with updated ``t``, (n_proj, 2) last-round shifts).
     """
+    import dataclasses
     from tomojax.core.operators import make_operator
     from tomojax.recon import sirt as sirt_solve
 
     n = views.n_proj
     nu, nv = geom.det_shape
-    gain = 1.8
     meas = jnp.asarray(projections, dtype).reshape(n, nu, nv)
+
+    def pcc_batch(synth, ref):
+        return jax.vmap(lambda a, b: phase_cross_correlation(
+            a, b, upsample_factor=upsample_factor))(synth, ref)
+
+    if folds is not None:
+        K = int(folds)
+        if not 2 <= K <= n // 2:
+            raise ValueError(f"folds={folds} must be in [2, n_proj//2]")
+        fold_ix = [np.arange(k, n, K) for k in range(K)]
+        comp_ix = [np.setdiff1d(np.arange(n), ix) for ix in fold_ix]
+        fgeoms = [dataclasses.replace(geom, n_proj=len(ix))
+                  for ix in fold_ix]
+        cgeoms = [dataclasses.replace(geom, n_proj=len(ix))
+                  for ix in comp_ix]
+        shifts = jnp.zeros((n, 2), dtype)
+        for _ in range(rounds):
+            sh = np.zeros((n, 2), np.float64)
+            for k in range(K):
+                ix, cix = fold_ix[k], comp_ix[k]
+                csub = jax.tree.map(lambda a: a[cix], views)
+                fsub = jax.tree.map(lambda a: a[ix], views)
+                cop = make_operator(cgeoms[k], csub, family=family,
+                                    dtype=dtype)
+                rec = sirt_solve(cop, meas[cix].reshape(len(cix), -1),
+                                 niter=recon_iters, positivity=True).x
+                fop = make_operator(fgeoms[k], fsub, family=family,
+                                    dtype=dtype)
+                synth = fop.A(rec).reshape(len(ix), nu, nv)
+                sh[ix] = np.asarray(pcc_batch(synth, meas[ix]),
+                                    np.float64)
+            shifts = jnp.asarray(sh, dtype)
+            # pcc(synth, meas) tracks +(t_true − t_est) in (u, v) =
+            # (tx, tz) at full strength (out-of-fold): unit gain
+            t = views.t.at[:, 0].add(shifts[:, 0])
+            t = t.at[:, 2].add(shifts[:, 1])
+            views = views._replace(t=t)
+        return views, shifts
+
+    gain = 1.8
     shifts = jnp.zeros((n, 2), dtype)
     prev = None
     for _ in range(rounds):
@@ -245,12 +295,11 @@ def align_to_reprojection(projections, geom, views, *, rounds: int = 2,
         rec = sirt_solve(op, meas.reshape(n, -1), niter=recon_iters,
                          positivity=True).x
         synth = op.A(rec).reshape(n, nu, nv)
-        shifts = jax.vmap(lambda a, b: phase_cross_correlation(
-            a, b, upsample_factor=upsample_factor))(synth, meas)
+        shifts = pcc_batch(synth, meas)
         if prev is not None:
             # secant gain estimate; conservative cap — at near-total
             # attenuation larger gains amplify correlation noise (see
-            # the warning above)
+            # the docstring)
             rho = float(jnp.vdot(shifts, prev).real
                         / jnp.maximum(jnp.vdot(prev, prev).real, 1e-12))
             atten = max((1.0 - rho) / gain, 1e-3)
@@ -341,9 +390,11 @@ def moment_match(meas, synth, det_shape):
 
     measures the per-view translation error exactly up to gauge — however
     much of the misalignment the reconstruction has absorbed. This is the
-    attenuation-free replacement for correlating against reprojections
-    (:func:`align_to_reprojection`, which stalls because the recon fits
-    most of each view's shift): the recon can absorb misalignment in every
+    attenuation-free replacement for correlating against self-consistent
+    reprojections (:func:`align_to_reprojection` with ``folds=None``,
+    which stalls because the recon fits most of each view's shift; its
+    out-of-fold default avoids that at K× recon cost): the recon can
+    absorb misalignment in every
     detail of the image *except* its first moment. Iterated once per outer
     alternation it contracts the coherent/smooth tx drift mode — the
     quasi-null COR-like component block alternation leaves behind (round-2

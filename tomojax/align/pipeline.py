@@ -37,20 +37,39 @@ from tomojax.recon import sirt as _sirt, cgls as _cgls
 from tomojax.align.refine import PARAM_SETS, refine_views
 
 
+def _resolve_reinit_tol(reinit_tol, prec: str) -> float:
+    """CGLS divergence-guard slack for a given kernel precision tier.
+
+    The bf16 tier's A/Aᵀ pair is not an exact mutual transpose at the
+    ~2e-3 level (docs/STATUS.md), so the strict ``conv_k > conv_{k-1}``
+    guard can trip on rounding noise and end the solve with the spurious
+    double-reinit quit (stop=2). 1e-3 relative slack absorbs that while
+    still catching real divergence (the guard exists for genuinely
+    inconsistent operators, ``cgls.py:60-68`` in the reference)."""
+    if reinit_tol is not None:
+        return float(reinit_tol)
+    return 1e-3 if prec == "bf16" else 0.0
+
+
 @functools.lru_cache(maxsize=16)
 def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
                      positivity: bool, gstruct, dtype_str: str,
-                     prec: str = "f32x2"):
+                     prec: str = "f32x2", has_gt: bool = False,
+                     reinit_tol=None):
     """One jitted solver program per (geometry, octant-group structure).
 
     The per-view slab scalars enter as *arguments*, so consecutive outer
     iterations of the alternating driver (new θ, same shapes) reuse the
     compiled program — the eager path would rebuild + retrace the whole
-    solver every outer (~minutes per call on a remote-TPU tunnel)."""
+    solver every outer (~minutes per call on a remote-TPU tunnel).
+    With ``has_gt`` the ground-truth volume also enters as an argument
+    and the per-iteration metric becomes ‖x−x*‖/‖x*‖ (the reference's
+    ``options['ground_truth']`` RMSE, ``sirt.py:47-51``)."""
     from tomojax.core import slab_projector as sp
     dtype = jnp.dtype(dtype_str)
+    rtol = _resolve_reinit_tol(reinit_tol, prec)
 
-    def run(x0, b, scalars):
+    def run(x0, b, scalars, gt=None):
         def A(x):
             return sp.project_scalars(x, geom, gstruct, scalars, quad,
                                       dtype=dtype, prec=prec)
@@ -63,17 +82,22 @@ def _slab_recon_prog(geom: Geometry, quad: str, recon: str, nit: int,
                           family="slab" if quad == "arc" else "slab_plane",
                           dtype=dtype)
         if recon == "sirt":
-            r = _sirt(op, b, niter=nit, positivity=positivity, x0=x0)
+            r = _sirt(op, b, niter=nit, positivity=positivity, x0=x0,
+                      ground_truth=gt)
         else:
-            r = _cgls(op, b, niter=nit, x0=x0)
+            r = _cgls(op, b, niter=nit, x0=x0, ground_truth=gt,
+                      reinit_tol=rtol)
         return r.x, r.rms_error, r.n_iter
 
-    return jax.jit(run)
+    if has_gt:
+        return jax.jit(run)
+    return jax.jit(lambda x0, b, scalars: run(x0, b, scalars))
 
 
 @functools.lru_cache(maxsize=8)
 def _slab_cgls_chunk_progs(geom: Geometry, quad: str, nsteps: int,
-                           gstruct, dtype_str: str, prec: str = "f32x2"):
+                           gstruct, dtype_str: str, prec: str = "f32x2",
+                           reinit_tol=None, has_gt: bool = False):
     """State-carrying CGLS programs: ``(init, step)``.
 
     The axon runtime kills single device programs after ~2-3 min of
@@ -84,10 +108,12 @@ def _slab_cgls_chunk_progs(geom: Geometry, quad: str, nsteps: int,
     restarting :func:`_slab_recon_prog` with ``x0=x`` per chunk.
     Replaces the reference's unbounded serial loop ``cgls.py:26-104`` /
     ``cgls_mpi.py:8`` at scales where one program cannot hold the whole
-    solve."""
+    solve. ``reinit_tol=None`` resolves per precision tier (1e-3 for
+    bf16 — see :func:`_resolve_reinit_tol`)."""
     from tomojax.core import slab_projector as sp
     from tomojax.recon.cgls import cgls_init, cgls_steps
     dtype = jnp.dtype(dtype_str)
+    rtol = _resolve_reinit_tol(reinit_tol, prec)
 
     def make_op(scalars):
         def A(x):
@@ -105,13 +131,16 @@ def _slab_cgls_chunk_progs(geom: Geometry, quad: str, nsteps: int,
     def init(x0, b, scalars):
         return cgls_init(make_op(scalars), b, x0)
 
-    def step(state, b, scalars, niter):
+    def step(state, b, scalars, niter, gt=None):
         # niter is traced (a while_loop bound, not a shape) so deeper
         # runs reuse the same compiled program
         return cgls_steps(make_op(scalars), b, state, nsteps=nsteps,
-                          niter=niter)
+                          niter=niter, ground_truth=gt, reinit_tol=rtol)
 
-    return jax.jit(init), jax.jit(step)
+    if has_gt:
+        return jax.jit(init), jax.jit(step)
+    return jax.jit(init), jax.jit(
+        lambda state, b, scalars, niter: step(state, b, scalars, niter))
 
 
 @functools.lru_cache(maxsize=8)
@@ -249,7 +278,11 @@ def _project_out_gauge(dmom, phi):
     c, s = jnp.cos(jnp.asarray(phi, dmom.dtype)), \
         jnp.sin(jnp.asarray(phi, dmom.dtype))
     A = jnp.stack([c, s], 1)
-    coef = jnp.linalg.solve(A.T @ A, A.T @ dmom[:, 0])
+    # SVD least-squares, not normal equations: with one view (or all phi
+    # equal mod pi) the 2x2 Gram matrix is singular and a plain solve
+    # would inject NaN into theta; lstsq returns the min-norm solution
+    # there and is exact (unbiased) in the regular case
+    coef = jnp.linalg.lstsq(A, dmom[:, 0])[0]
     du = dmom[:, 0] - A @ coef
     dv = dmom[:, 1] - jnp.mean(dmom[:, 1])
     return jnp.stack([du, dv], 1)
@@ -311,6 +344,8 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       debias_chunk: int = 15,
                       bounds=None, ground_truth=None, dtype=jnp.float32,
                       family: str = "ray",
+                      recon_prec: str = "f32x2",
+                      reinit_tol=None,
                       volume0=None,
                       checkpoint_dir: str | None = None,
                       resume: bool = True, verbose: bool = False,
@@ -335,11 +370,11 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         through the fast multi-pass projector.
     :param recon_chunk: host-chunk the reconstruction solver into pieces of
         at most this many iterations (bounds single device-program length
-        for runtime watchdogs).  NOTE for ``recon="cgls"``: each chunk
-        cold-restarts CG (warm-started at the previous chunk's iterate but
-        with fresh conjugacy), so the trajectory differs from an unchunked
-        run and the recorded ``rms`` reflects the final chunk only.  SIRT
-        chunking is exactly equivalent to an unchunked run.
+        for runtime watchdogs).  Chunking is exactly equivalent to an
+        unchunked run for BOTH solvers: SIRT is memoryless per iteration
+        and CGLS threads its full :class:`~tomojax.recon.cgls.CGLSState`
+        across chunks (true conjugacy — pinned by
+        ``tests/test_solvers.py``).
     :param refine_chunk: host-chunk the per-view refinement into groups of
         at most this many views (default: an automatic memory/watchdog
         heuristic).  Views are independent, so chunking is exactly
@@ -379,6 +414,13 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         counterpart (it refines against its own data-generating operator
         — an inverse-crime protocol, ``examples/align_rigid.py:40-52``).
     :param debias_chunk: views per exact-family forward program.
+    :param recon_prec: slab-kernel matmul tier for the reconstruction
+        stage ("f32x2" reference-grade / "bf16" bulk tier — halves the
+        selection-matmul work at ~1e-3 apply accuracy; refinement and
+        debias stay f32x2).
+    :param reinit_tol: CGLS divergence-guard slack; ``None`` resolves per
+        ``recon_prec`` (1e-3 for bf16, else 0 — the reference's strict
+        guard, ``cgls.py:60``).
     :param checkpoint_dir: if set, write ``align_ckpt_####.npz`` per outer
         iteration and resume from the latest on restart.
     :returns: final :class:`AlignState`.
@@ -414,10 +456,13 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
     # optimizes offset parameters starting at 0 within the box)
     theta_init = views0.theta6().astype(dtype)
 
-    # slab families + no ground-truth metric → the cached jitted solver
-    # program (scalars as arguments; see _slab_recon_prog)
+    # slab families → the cached jitted solver program (scalars — and the
+    # ground-truth volume, if any — as arguments; see _slab_recon_prog)
     scalar_prog = (family in ("slab", "slab_plane")
-                   and ground_truth is None and recon in ("sirt", "cgls"))
+                   and recon in ("sirt", "cgls"))
+    has_gt = ground_truth is not None
+    gt_dev = (jnp.asarray(ground_truth, dtype).reshape(-1)
+              if has_gt else None)
     quad = "arc" if family == "slab" else "plane"
     gstruct = None
     refine_gs = None       # frozen octant groups for lm_slab (see below)
@@ -455,6 +500,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
         # 64^3+ exact-family SIRT/CGLS over many views trips it)
         chunk = recon_chunk or recon_iters
         done = 0
+        gt_args = (gt_dev,) if has_gt else ()
         if scalar_prog:
             from tomojax.core import slab_projector as sp
             # freeze group membership across outers (see group_scalars_for)
@@ -465,31 +511,80 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                                                     dtype)
             else:
                 gstruct, scalars = res
-            while done < recon_iters:
-                nit = min(chunk, recon_iters - done)
-                prog = _slab_recon_prog(geom, quad, recon, nit, positivity,
-                                        gstruct, jnp.dtype(dtype).name)
-                volume, rms_arr, n_it = prog(volume, proj_work, scalars)
-                done += nit
-                hb(f"outer {it}: recon {done}/{recon_iters}")
-            rms = float(np.asarray(rms_arr)[max(0, int(n_it) - 1)])
+            if recon == "cgls" and chunk < recon_iters:
+                # state-carrying chunked CGLS: true conjugacy across
+                # device programs (a per-chunk _slab_recon_prog restart
+                # loses the search-direction history every `chunk`
+                # iterations — at 512³ where chunk must be ≤2 that
+                # degrades CGLS to steepest descent)
+                from tomojax.recon.cgls import cgls_init, cgls_steps  # noqa: F401
+                init_prog, step_prog = _slab_cgls_chunk_progs(
+                    geom, quad, chunk, gstruct, jnp.dtype(dtype).name,
+                    recon_prec, reinit_tol, has_gt)
+                state = init_prog(volume, proj_work, scalars)
+                rms = 0.0
+                niter_t = jnp.int32(recon_iters)
+                while int(state.k) < recon_iters and int(state.stop) == 0:
+                    prev_k = int(state.k)
+                    state, conv, rms_arr = step_prog(
+                        state, proj_work, scalars, niter_t, *gt_args)
+                    done = int(state.k)
+                    if done > prev_k:
+                        rms = float(np.asarray(rms_arr)[done - prev_k - 1])
+                    hb(f"outer {it}: recon {done}/{recon_iters}")
+                if int(state.stop) != 0:
+                    hb(f"outer {it}: CGLS double-reinit quit at "
+                       f"k={int(state.k)} (stop={int(state.stop)}) — "
+                       "operator inconsistency; consider reinit_tol or "
+                       "the f32x2 tier")
+                volume = state.x
+            else:
+                while done < recon_iters:
+                    nit = min(chunk, recon_iters - done)
+                    prog = _slab_recon_prog(
+                        geom, quad, recon, nit, positivity, gstruct,
+                        jnp.dtype(dtype).name, recon_prec, has_gt,
+                        reinit_tol)
+                    volume, rms_arr, n_it = prog(volume, proj_work,
+                                                 scalars, *gt_args)
+                    done += nit
+                    hb(f"outer {it}: recon {done}/{recon_iters}")
+                rms = float(np.asarray(rms_arr)[max(0, int(n_it) - 1)])
         else:
             op = make_operator(geom, views, family=family, dtype=dtype)
-            while done < recon_iters:
-                nit = min(chunk, recon_iters - done)
-                if recon == "sirt":
+            if recon == "cgls":
+                # state-carrying chunking for the generic families too:
+                # chunked == unchunked (pinned by test_solvers), unlike
+                # the former per-chunk cold restart
+                from tomojax.recon.cgls import cgls_init, cgls_steps
+                state = cgls_init(op, proj_work, x0=volume)
+                rms = 0.0
+                while int(state.k) < recon_iters and int(state.stop) == 0:
+                    prev_k = int(state.k)
+                    nit = min(chunk, recon_iters - prev_k)
+                    state, conv, rms_arr = cgls_steps(
+                        op, proj_work, state, nsteps=nit,
+                        niter=recon_iters, ground_truth=ground_truth,
+                        reinit_tol=_resolve_reinit_tol(reinit_tol,
+                                                       recon_prec))
+                    done = int(state.k)
+                    if done > prev_k:
+                        rms = float(np.asarray(rms_arr)[done - prev_k - 1])
+                    hb(f"outer {it}: recon {done}/{recon_iters}")
+                volume = state.x
+            elif recon == "sirt":
+                while done < recon_iters:
+                    nit = min(chunk, recon_iters - done)
                     r = _sirt(op, proj_work, niter=nit,
                               positivity=positivity, x0=volume,
                               ground_truth=ground_truth)
-                elif recon == "cgls":
-                    r = _cgls(op, proj_work, niter=nit, x0=volume,
-                              ground_truth=ground_truth)
-                else:
-                    raise ValueError(f"unknown recon {recon!r}")
-                volume = r.x
-                done += nit
-                hb(f"outer {it}: recon {done}/{recon_iters}")
-            rms = float(np.asarray(r.rms_error)[max(0, int(r.n_iter) - 1)])
+                    volume = r.x
+                    done += nit
+                    hb(f"outer {it}: recon {done}/{recon_iters}")
+                rms = float(np.asarray(r.rms_error)[
+                    max(0, int(r.n_iter) - 1)])
+            else:
+                raise ValueError(f"unknown recon {recon!r}")
         history["recon_rms"].append(rms)
 
         lo = theta_init + lo_off

@@ -253,9 +253,6 @@ def cmd_align(args):
                           -np.inf, -a.bound_angle, -a.bound_angle],
                          np.float32)
     bounds_hi = -bounds_lo
-    # ground-truth rms tracking is only wired through the generic-operator
-    # solver path; the cached scalar-argument slab program skips it
-    gt_arg = None if a.family in ("slab", "slab_plane") else gt
     state = align_reconstruct(
         proj.reshape(n_proj, -1), geom, views0, outer_iters=a.outer_iters,
         recon=a.recon, recon_iters=a.recon_iters, positivity=a.positivity,
@@ -263,8 +260,8 @@ def cmd_align(args):
         family=a.family, refine_method=a.refine_method,
         recon_chunk=a.recon_chunk, refine_chunk=a.refine_chunk,
         accel_period=a.accel_period, moment_period=a.moment_period,
-        debias_period=a.debias_period,
-        bounds=(bounds_lo, bounds_hi), ground_truth=gt_arg,
+        debias_period=a.debias_period, recon_prec=a.recon_prec,
+        bounds=(bounds_lo, bounds_hi), ground_truth=gt,
         checkpoint_dir=a.checkpoint_dir, verbose=True, progress=True)
 
     io.save_volume(args.output, state.volume)
