@@ -144,6 +144,31 @@ def main():
                          "reference's own inverse-crime protocol "
                          "(examples/align_rigid.py refines against data "
                          "from its own projector)")
+    ap.add_argument("--fam-exact", default=None,
+                    choices=["ray", "slab", "slab_plane"],
+                    help="recon family for the exact stage (default: "
+                         "slab arc at >=64^3, ray below; slab_plane is "
+                         "the cheap bulk choice at 512^3 — refinement "
+                         "stays arc via lm_slab regardless)")
+    ap.add_argument("--fam-polish", default=None,
+                    choices=["ray", "slab", "slab_plane"],
+                    help="recon family for the polish stage")
+    ap.add_argument("--prec-exact", default="f32x2",
+                    choices=["f32x2", "bf16"],
+                    help="slab kernel tier for the exact stage's recon "
+                         "(bf16 halves the selection-matmul work; "
+                         "refinement/moment stay f32x2)")
+    ap.add_argument("--prec-polish", default="f32x2",
+                    choices=["f32x2", "bf16"])
+    ap.add_argument("--recon-bulk", default="sirt",
+                    choices=["sirt", "cgls"],
+                    help="solver for the bulk (fast) stage")
+    ap.add_argument("--final-recon-iters", type=int, default=0,
+                    help="after all stages: one deep chunked CGLS with "
+                         "the final parameter estimates (the headline "
+                         "volume; state-carrying chunk programs)")
+    ap.add_argument("--final-prec", default="f32x2",
+                    choices=["f32x2", "bf16"])
     ap.add_argument("--refine-bulk", default=None,
                     choices=["lm", "gd_fast", "lm_slab"],
                     help="refinement for the bulk stage (default: lm_slab "
@@ -165,6 +190,19 @@ def main():
                          "every N outers (0 disables; kills the smooth "
                          "tx drift quasi-null mode — align.cc."
                          "moment_match)")
+    ap.add_argument("--restart-slowdown", type=float, default=0.0,
+                    help="self-defense against the in-process compile-"
+                         "accumulation degradation (docs/STATUS.md r4: a "
+                         "long-lived process that has compiled many "
+                         "programs can slow the TPU worker 20x; a fresh "
+                         "process restores full speed). If a stage's "
+                         "outer-iteration wall time exceeds this factor "
+                         "x the stage's fastest outer so far, exit(3) — "
+                         "under scripts/run_retry.sh the run restarts, "
+                         "resumes from the per-outer checkpoint, and "
+                         "every compile is banked in the persistent "
+                         "cache. 0 disables; 2.5 is a good setting for "
+                         "multi-hour runs.")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (cpu/tpu)")
     ap.add_argument("--out", default=None)
@@ -233,6 +271,8 @@ def main():
     record = {"config": vars(args), "iters": []}
     t_start = time.perf_counter()
 
+    stage_walls: dict = {}
+
     def cb(stage):
         def callback(it, views, volume, history):
             e = param_errors(views, truth, phi)
@@ -253,6 +293,25 @@ def main():
                 os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
                 with open(args.out + ".partial", "w") as f:
                     json.dump(record, f, indent=1)
+            # compile-degradation self-defense (see --restart-slowdown):
+            # the outer's checkpoint is already on disk (align_reconstruct
+            # saves before invoking the callback), so exiting here loses
+            # nothing — the retried process resumes at outer it+1 with
+            # every compile banked in the persistent cache
+            walls = stage_walls.setdefault(stage, [])
+            walls.append(e["wall_s"])
+            durs = np.diff(walls)
+            if args.restart_slowdown and len(durs) >= 2:
+                # durs[0] includes this stage's first-outer compiles;
+                # baseline = fastest compile-free outer seen so far
+                base = float(durs[1:].min())
+                if durs[-1] > args.restart_slowdown * base:
+                    print(f"[{stage}] outer {it} took {durs[-1]:.0f}s vs "
+                          f"baseline {base:.0f}s — in-process slowdown "
+                          "detected; exiting for a fresh-process resume",
+                          flush=True)
+                    sys.stdout.flush()
+                    os._exit(3)
         return callback
 
     # COM-consistency pre-alignment: drift-free per-view (tx, tz) seed
@@ -271,7 +330,8 @@ def main():
     # takes over from 64^3 up; below that the exact ray family is fast
     # enough on TPU and bit-matches the data-generating operator
     fam_bulk = "slab_plane" if n >= 64 else "ray"
-    fam_polish = "slab" if n >= 64 else "ray"
+    fam_exact = args.fam_exact or ("slab" if n >= 64 else "ray")
+    fam_polish = args.fam_polish or ("slab" if n >= 64 else "ray")
     refine_bulk = args.refine_bulk or ("lm_slab" if n >= 64 else "lm")
     refine_polish = args.refine_polish or ("lm_slab" if n >= 64 else "lm")
 
@@ -289,7 +349,7 @@ def main():
         state = align_reconstruct(
             proj_meas, geom, views0, outer_iters=args.outers_fast,
             checkpoint_dir=stage_ckpt("fast"),
-            recon="sirt", recon_iters=args.recon_iters,
+            recon=args.recon_bulk, recon_iters=args.recon_iters,
             recon_chunk=args.recon_chunk,
             refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
@@ -308,7 +368,8 @@ def main():
             recon_chunk=args.recon_chunk,
             refine_chunk=args.refine_chunk,
             param_set=args.param_set, refine_iters=args.refine_iters,
-            refine_method=refine_polish, family=fam_polish, progress=True,
+            refine_method=refine_polish, family=fam_exact, progress=True,
+            recon_prec=args.prec_exact,
             accel_period=args.accel or None,
             moment_period=args.moment_period or None,
             checkpoint_dir=stage_ckpt("exact"),
@@ -323,6 +384,7 @@ def main():
             param_set=args.param_set,
             refine_iters=args.refine_iters_polish,
             refine_method=refine_polish, family=fam_polish, progress=True,
+            recon_prec=args.prec_polish,
             accel_period=args.accel or None,
             moment_period=args.moment_period or None,
             checkpoint_dir=stage_ckpt("polish"),
@@ -356,6 +418,36 @@ def main():
             debias_period=args.debias_period,
             checkpoint_dir=stage_ckpt("debias"),
             volume0=state.volume, callback=cb("debias"))
+
+    if args.final_recon_iters > 0:
+        # headline volume: one deep state-carrying chunked CGLS at the
+        # final parameter estimates (slab_plane; the chunk programs keep
+        # true conjugacy under the runtime's program-kill limit)
+        from tomojax.core import slab_projector as sp
+        from tomojax.align.pipeline import _slab_cgls_chunk_progs
+        t0 = time.perf_counter()
+        gstruct, scalars = sp.scalar_groups(geom, state.views, "plane")
+        chunk = args.recon_chunk or args.final_recon_iters
+        init_prog, step_prog = _slab_cgls_chunk_progs(
+            geom, "plane", min(chunk, args.final_recon_iters), gstruct,
+            "float32", args.final_prec)
+        b = jnp.asarray(proj_meas, jnp.float32).reshape(n_proj, -1)
+        st = init_prog(jnp.zeros(geom.vox_shape, jnp.float32), b, scalars)
+        niter = jnp.int32(args.final_recon_iters)
+        while int(st.k) < args.final_recon_iters and int(st.stop) == 0:
+            st, _, _ = step_prog(st, b, scalars, niter)
+            print(f"[final] cgls {int(st.k)}/{args.final_recon_iters} "
+                  f"t={time.perf_counter() - t0:.0f}s", flush=True)
+        record["final_recon"] = {
+            "iters": int(st.k), "stop": int(st.stop),
+            "prec": args.final_prec,
+            "wall_s": time.perf_counter() - t0,
+            "vol_rel_l2": vol_error(st.x, np.asarray(vol)),
+        }
+        state = state._replace(volume=st.x)
+        print(f"[final] deep CGLS {int(st.k)} iters "
+              f"vol rel-L2 {record['final_recon']['vol_rel_l2']:.4f} "
+              f"({record['final_recon']['wall_s']:.0f}s)", flush=True)
 
     record["total_wall_s"] = time.perf_counter() - t_start
     final = record["iters"][-1] if record["iters"] else {}

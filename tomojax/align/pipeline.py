@@ -466,6 +466,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
     quad = "arc" if family == "slab" else "plane"
     gstruct = None
     refine_gs = None       # frozen octant groups for lm_slab (see below)
+    refine_gs_chunks = {}  # frozen per-chunk groups (chunked lm_slab)
     th_hist: list = []     # last 3 θ iterates for aitken_extrapolate
     last_jump = start_iter - 1
     escaped = np.zeros((geom.n_proj, 6), bool)
@@ -618,10 +619,19 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                 for i0 in range(0, n, vchunk):
                     sl = np.arange(i0, min(i0 + vchunk, n))
                     sub = jax.tree.map(lambda a: a[sl], views)
+                    cgeom = dataclasses.replace(geom, n_proj=len(sl))
+                    # freeze each chunk's octant groups at the first
+                    # outer (same rationale as the unchunked refine_gs:
+                    # θ drift re-shuffles group batch shapes → fresh
+                    # Mosaic compiles mid-run, minutes each at ≥256³)
+                    if i0 not in refine_gs_chunks:
+                        refine_gs_chunks[i0], _ = sp.scalar_groups(
+                            cgeom, sub, "arc", dtype)
                     parts.append(refine_views_slab(
                         volume, proj_work[sl], geom, sub, mask=mask,
                         lower=lo[sl], upper=hi[sl],
-                        max_iter=refine_iters, dtype=dtype))
+                        max_iter=refine_iters,
+                        groups=refine_gs_chunks[i0], dtype=dtype))
                     hb(f"outer {it}: refine {min(i0 + vchunk, n)}/{n}")
                 ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
             if (accel_period and refine_gs is not None
