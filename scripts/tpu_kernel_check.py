@@ -82,6 +82,66 @@ def check(size):
     return worst < 5e-4
 
 
+def check_bf16(size):
+    """Hardware contract gate for the bf16 bulk tier.
+
+    Interpret mode cannot observe bf16 rounding (XLA elides it under
+    excess precision, docs/STATUS.md r4), so the tier's error bounds are
+    pinned HERE, on the real MXU:
+
+    - forward/adjoint vs the f32 XLA reference: rel <= 3e-3 per apply
+      (measured ~2e-4..2e-3 across octants/sizes);
+    - A/Aᵀ mutual-transpose mismatch |<Ax,y>-<x,Aᵀy>|/|<Ax,y>| <= 5e-3
+      — the quantity CGLS actually feels; its documented operating
+      envelope is this bound + reinit_tol=1e-3 (the bf16 default, see
+      tomojax.align.pipeline._resolve_reinit_tol) + f32 residual
+      re-measurement in the solvers, validated at depth 40 in the
+      config-5 records (docs/convergence/config5_tpu_deep_bf16.json).
+    """
+    import jax
+    import jax.numpy as jnp
+    from tomojax.core.geometry import Geometry
+    from tomojax.core import phantom
+    from tomojax.core import slab_projector as sp
+    from tomojax.kernels import slab as slabk
+
+    n = size
+    geom = Geometry(n_proj=8, vox_shape=(n,) * 3, det_shape=(n, n))
+    vol = phantom.shepp3d(n).astype(np.float32)
+    views = _views(8)
+    rng = np.random.default_rng(7)
+    worst_f, worst_d = 0.0, 0.0
+    for quad in ("arc", "plane"):
+        for idx, sw, yf, uf in sp._orient_groups(
+                jax.tree.map(np.asarray, views), geom):
+            sub = jax.tree.map(lambda a: np.asarray(a)[idx], views)
+            sc = sp.slab_scalars_np(geom, sub, sw, yf, uf, quad)
+            vol_or = sp.orient_volume(jnp.asarray(vol, jnp.float32),
+                                      geom, sw, yf)
+            scj = jnp.asarray(sc, jnp.float32)
+            ker = np.asarray(slabk.slab_project_pallas(
+                vol_or, scj, geom, quad, prec="bf16"))
+            ref = np.stack([np.asarray(sp.forward_from_scalars_xla(
+                vol_or, scj[i], geom, quad)) for i in range(len(idx))])
+            rel = np.linalg.norm(ker - ref) / max(np.linalg.norm(ref),
+                                                  1e-9)
+            worst_f = max(worst_f, rel)
+            y = jnp.asarray(rng.standard_normal(ker.shape), jnp.float32)
+            aty = slabk.slab_backproject_pallas(y, scj, geom, quad,
+                                                prec="bf16")
+            lhs = float(jnp.vdot(jnp.asarray(ker), y))
+            rhs = float(jnp.vdot(vol_or, aty))
+            drel = abs(lhs - rhs) / max(abs(lhs), 1.0)
+            worst_d = max(worst_d, drel)
+            print(f"[bf16 {quad}] octant {(sw, yf, uf)}: fwd rel="
+                  f"{rel:.2e} A/At mismatch={drel:.2e}", flush=True)
+    ok = worst_f <= 3e-3 and worst_d <= 5e-3
+    print(f"[bf16] worst fwd rel = {worst_f:.2e} (bound 3e-3), "
+          f"worst A/At mismatch = {worst_d:.2e} (bound 5e-3) "
+          f"({'PASS' if ok else 'FAIL'})", flush=True)
+    return ok
+
+
 def perf(size, n_proj, reps, quad):
     import jax
     import jax.numpy as jnp
@@ -158,6 +218,9 @@ def profile(size, n_proj, quad, outdir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--check-bf16", action="store_true",
+                    help="pin the bf16 bulk tier's hardware error "
+                         "contract (fwd/adj bounds + A/At mismatch)")
     ap.add_argument("--perf", action="store_true")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--size", type=int, default=64)
@@ -174,6 +237,8 @@ def main():
     ok = True
     if args.check:
         ok = check(args.size)
+    if args.check_bf16:
+        ok = check_bf16(args.size) and ok
     if args.perf:
         for q in quads:
             perf(args.size, args.views, args.reps, q)
