@@ -110,14 +110,66 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     proj_per_s = reps * n_proj / best
-    print(json.dumps({
+    rec = {
         "metric": f"projections/sec, {n}^3 volume fwd+adjoint "
                   f"({n_proj} views, {family} matrix-free projector, "
                   f"{prec} kernel tier)",
         "value": round(proj_per_s, 3),
         "unit": "proj/s",
         "vs_baseline": round(proj_per_s / REFERENCE_CPU_PROJ_PER_S, 3),
-    }))
+    }
+
+    if family in ("slab", "slab_plane"):
+        # quantified speed-of-light statement (BASELINE north star):
+        # per-direction times + the analytic byte/flop model of the
+        # kernel dataflow -> achieved fraction of the MXU and HBM roofs
+        from tomojax.utils.roofline import roofline
+
+        @jax.jit
+        def run_fwd(x0):
+            def body(x, _):
+                y = fwd(x)
+                return x0 + 1e-30 * jnp.sum(y), None
+            out, _ = lax.scan(body, x0, None, length=reps)
+            return out
+
+        sino0 = fwd(vol)
+
+        @jax.jit
+        def run_adj(y0):
+            def body(y, _):
+                back = adj(y)
+                return y0 + 1e-30 * jnp.sum(back), None
+            out, _ = lax.scan(body, y0, None, length=reps)
+            return out
+
+        times = {}
+        for name, fn, arg in (("fwd", run_fwd, vol),
+                              ("adj", run_adj, sino0)):
+            z = fn(arg)
+            jax.block_until_ready(z)
+            tb = np.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                z = fn(z if name == "fwd" else z)
+                jax.block_until_ready(z)
+                tb = min(tb, time.perf_counter() - t0)
+            times[name] = tb / reps
+        kind = jax.devices()[0].device_kind
+        rl = roofline(geom, quad, prec, times["fwd"], times["adj"],
+                      device_kind=kind)
+        rec["roofline"] = {
+            "device_kind": kind,
+            "fwd_proj_per_s": round(n_proj / times["fwd"], 1),
+            "adj_proj_per_s": round(n_proj / times["adj"], 1),
+        }
+        for d in ("fwd", "adj"):
+            rec["roofline"][d] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in rl[d].items()
+                if k in ("gflops", "gbytes_per_s", "pct_mxu", "pct_hbm",
+                         "bound", "pct_sol")}
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
