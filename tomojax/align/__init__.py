@@ -9,7 +9,8 @@ from tomojax.align.refine import (
     PARAM_SETS, refine_view, refine_views, gradient_descent_view,
     alignment_cost, alignment_cost_grad,
 )
-from tomojax.align.pipeline import align_reconstruct, AlignState
+from tomojax.align.pipeline import align_reconstruct, frozen_polish, \
+    AlignState
 
 __all__ = [
     "phase_cross_correlation", "cor_flipping", "cross_correlation_chain",
@@ -19,5 +20,6 @@ __all__ = [
     "cross_correlation_filtered", "fourier_shift", "PARAM_SETS",
     "refine_view", "refine_views", "gradient_descent_view",
     "alignment_cost", "alignment_cost_grad", "align_reconstruct",
+    "frozen_polish",
     "AlignState",
 ]

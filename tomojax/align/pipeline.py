@@ -829,6 +829,98 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                       history=history)
 
 
+def frozen_polish(projections, geom: Geometry, views: Views, volume, *,
+                  param_set: str = "xzab", refine_iters: int = 60,
+                  refine_chunk: int | None = None, bounds=None,
+                  theta_ref: Views | None = None, family: str = "ray",
+                  moment: bool = True, dtype=jnp.float32) -> AlignState:
+    """Pure per-view refinement against a FROZEN reconstruction.
+
+    The plain alternation converges to a self-consistent fixed point in
+    which the next refinement is stationary BY CONSTRUCTION — each outer
+    re-fits the reconstruction to the current (partially misaligned)
+    parameters, so the per-view LM sees a cost minimum at the biased θ
+    (the 64³ tx floor at ~1.2e-4 px and the 256³ tx wander around accel
+    kicks, docs/STATUS.md r4). This stage breaks the *dynamics* instead:
+    the volume is frozen (ideally a deep reconstruction from the best θ
+    snapshot, or from tail-averaged θ), and every view runs a DEEP
+    box-LM against it with no reconstruction update, no acceleration,
+    and one optional final moment-match — so θ lands at the actual
+    per-view cost minimum of one fixed operator instead of chasing a
+    moving one. With ``family="ray"`` the Jacobian is the exact
+    reference-semantics one (``ray_wt_grad.f90:95-223``); ``"slab"``
+    uses the production fused-kernel LM (the right choice when the data
+    was slab-generated, and the only tractable one at ≥256³).
+
+    :returns: AlignState with the (unchanged) frozen volume and
+        polished views.
+    """
+    projections = jnp.asarray(projections, dtype).reshape(geom.n_proj, -1)
+    volume = jnp.asarray(volume, dtype).reshape(geom.vox_shape)
+    mask = PARAM_SETS[param_set]
+    if bounds is None:
+        lo_off, hi_off = _default_bounds(dtype)
+    else:
+        lo_off, hi_off = (jnp.asarray(bounds[0], dtype),
+                          jnp.asarray(bounds[1], dtype))
+    theta_init = (theta_ref if theta_ref is not None
+                  else views).theta6().astype(dtype)
+    lo = theta_init + lo_off
+    hi = theta_init + hi_off
+
+    n = geom.n_proj
+    if family in ("slab", "slab_plane"):
+        from tomojax.align.slab_refine import refine_views_slab
+        vchunk = refine_chunk or max(
+            1, min(n, (1 << 28) // max(1, 20 * geom.n_det)))
+        parts = []
+        for i0 in range(0, n, vchunk):
+            sl = np.arange(i0, min(i0 + vchunk, n))
+            sub = jax.tree.map(lambda a: a[sl], views)
+            parts.append(refine_views_slab(
+                volume, projections[sl], geom, sub, mask=mask,
+                lower=lo[sl], upper=hi[sl], max_iter=refine_iters,
+                dtype=dtype))
+        ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+    else:
+        vchunk = refine_chunk or max(
+            1, min(n, (1 << 23) // max(1, geom.n_vox)))
+        parts = []
+        for i0 in range(0, n, vchunk):
+            sl = np.arange(i0, min(i0 + vchunk, n))
+            sub = jax.tree.map(lambda a: a[sl], views)
+            parts.append(refine_views(
+                volume, projections[sl], geom, sub, mask=mask,
+                lower=lo[sl], upper=hi[sl], max_iter=refine_iters,
+                dtype=dtype))
+        ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+    theta = ref.theta6
+    views_out = Views.from_theta6(theta, cor=views.cor)
+
+    if moment and (mask[0] or mask[2]):
+        from tomojax.align.cc import moment_match
+        mom_mask = jnp.asarray(
+            _support_mask(geom, np.asarray(projections)), dtype)
+        quad = "arc" if family == "slab" else "plane"
+        synth = _family_synth(volume * mom_mask, geom, views_out,
+                              family, quad, dtype, 15)
+        dmom = _project_out_gauge(
+            moment_match(projections, synth, geom.det_shape),
+            views_out.phi)
+        th = theta.astype(dmom.dtype)
+        if mask[0]:
+            th = th.at[:, 0].add(dmom[:, 0])
+        if mask[2]:
+            th = th.at[:, 2].add(dmom[:, 1])
+        theta = jnp.clip(th, jnp.asarray(lo, dmom.dtype),
+                         jnp.asarray(hi, dmom.dtype)).astype(dtype)
+        views_out = Views.from_theta6(theta, cor=views.cor)
+
+    return AlignState(views=views_out, volume=volume, residuals=ref.cost,
+                      history={"recon_rms": [], "refine_cost":
+                               [float(jnp.sum(ref.cost))]})
+
+
 def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
                          outer_iters: int = 10, recon: str = "cgls",
                          recon_iters: int = 120,
