@@ -606,15 +606,22 @@ def _adj_kernel(sc_ref, g_ref, sel_ref, out_ref, tbar_ref, aac_ref, *,
                 nx, ny, nz, nu, nv, K, n_steps, arc, bf16=False):
     """Adjoint: grid (C, V); out block (1, K, nx, NZP) revisited across V.
 
-    Target slab t receives side-0 of source r = t and (arc) side-1 of
-    source r = t - 1. Boundary sources are recomputed by the neighboring
-    chunk so output blocks never overlap.
-
-    Pass-A transpose: the banded cotangents accumulate into the aligned
-    frame (static lane shifts, summed over branches — zoff is
-    branch-shared), then ONE scatter matmul against the align one-hot
-    maps them back to volume z (exact transpose of the forward's align
-    gather)."""
+    SOURCE-major dataflow (round 5): one pass-B sweep per source row r
+    produces BOTH side-weighted cotangent frames at once — side 0 feeds
+    target slab t = r, side 1 (arc) feeds t = r + 1 — via the split
+    tbar = (Σ w·g, Σ w·g·fy): side0 = all − fy, side1 = fy. The
+    per-sample tile math (X, fy, ok, band hats) and the pass-A band
+    hats therefore run once per (source, branch) instead of once per
+    (target, side, branch): 2K sweeps per chunk → K+1. The matmul count
+    rises by (K+1)/K (two weighted matmuls per tile instead of one) but
+    the adjoint is ~70% VPU-bound (bf16-tier A/B: only ~30% of its time
+    tracks the matmul halving), so halving the VPU tile work wins.
+    Boundary sources are recomputed by the neighboring chunk so output
+    blocks never overlap. The per-source align one-hot is built once
+    and reused by both targets' scatter matmuls (each target's
+    cotangents must invert the align gather of ITS source's geometry,
+    which is exactly source r's).
+    """
     v_id = pl.program_id(1)
     c = pl.program_id(0)
     f32 = jnp.float32
@@ -628,109 +635,137 @@ def _adj_kernel(sc_ref, g_ref, sel_ref, out_ref, tbar_ref, aac_ref, *,
     # step cost ~1.5G VPU ops per apply at 256³/32v)
     p = _Scalars(sc_ref)
     n_branch = 2 if arc else 1
-    n_sides = 2 if arc else 1
     nzp = nz + 2 * PADZ
     nva = nv + NVA_PAD
     xch = _xch(nx)
 
-    for k in range(K):
-        t_i = c * K + k
-        for side in range(n_sides):
-            r_i = t_i - side
-            r = r_i.astype(f32)
-            src_valid = (t_i <= ny - 1) & (r_i >= (-1 if arc else 0)) & \
-                (r_i <= ny - 1)
+    n_src = K + 1 if arc else K
+    for k2 in range(n_src):
+        r_i = c * K + k2 - (1 if arc else 0)
+        r = r_i.astype(f32)
+        # static target availability within this chunk's output block
+        has0 = (k2 >= 1) if arc else True      # side 0 → out slab k2-1|k2
+        has1 = arc and (k2 <= K - 1)           # side 1 → out slab k2
+        k_t0 = k2 - 1 if arc else k2
+        # dynamic validity (c-dependent): the target slab must exist
+        t0_ok = (r_i >= 0) & (r_i <= ny - 1)
+        t1_ok = (r_i >= -1) & (r_i <= ny - 2)
+        conds = ([t0_ok] if has0 else []) + ([t1_ok] if has1 else [])
+        src_ok = conds[0] if len(conds) == 1 else conds[0] | conds[1]
 
-            @pl.when(src_valid)
-            def _(k=k, side=side, r=r):
-                cx_r = p.cxb + p.rx * r
-                cz_r = p.czb + p.rz * r
-                wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
-                aac_ref[...] = jnp.zeros(aac_ref.shape, f32)
+        @pl.when(src_ok)
+        def _(k2=k2, r=r, has0=has0, has1=has1, k_t0=k_t0,
+              t0_ok=t0_ok, t1_ok=t1_ok):
+            cx_r = p.cxb + p.rx * r
+            cz_r = p.czb + p.rz * r
+            wa0r = (r - p.b1 + p.euy_ieux * cx_r) * p.inv_edy
+            aac_ref[...] = jnp.zeros(aac_ref.shape, f32)
 
-                for b in range(n_branch):
-                    # ---- pass-B transpose: ctg → T-bar ----
-                    tbar_ref[...] = jnp.zeros(tbar_ref.shape, f32)
-                    for uc in range(nu // UCH):
-                        u0 = float(uc * UCH)
-                        for vc in range(nv // VCH):
-                            v0 = float(vc * VCH)
-                            w8, a_res, rel = _window_anchor(
-                                p, u0, v0, b, cx_r, nx, arc)
+            for b in range(n_branch):
+                # ---- pass-B transpose: ctg → (T-bar_all, T-bar_fy) ----
+                tbar_ref[...] = jnp.zeros(tbar_ref.shape, f32)
+                for uc in range(nu // UCH):
+                    u0 = float(uc * UCH)
+                    for vc in range(nv // VCH):
+                        v0 = float(vc * VCH)
+                        w8, a_res, rel = _window_anchor(
+                            p, u0, v0, b, cx_r, nx, arc)
 
-                            @pl.when(rel)
-                            def _(u0=u0, v0=v0, b=b, side=side, uc=uc,
-                                  vc=vc, w8=w8, a_res=a_res):
-                                X, fy, ok, _jt = _pass_b_tiles(
-                                    p, u0, v0, r, b, cx_r, n_steps, arc)
-                                sw = ((fy if side == 1 else 1.0 - fy)
-                                      if arc else 1.0)
-                                g = g_ref[0, uc * UCH:(uc + 1) * UCH,
-                                          vc * VCH:(vc + 1) * VCH]
-                                gg = g * (ok * p.scale * sw)
+                        @pl.when(rel)
+                        def _(u0=u0, v0=v0, b=b, uc=uc, vc=vc, w8=w8,
+                              a_res=a_res):
+                            X, fy, ok, _jt = _pass_b_tiles(
+                                p, u0, v0, r, b, cx_r, n_steps, arc)
+                            g = g_ref[0, uc * UCH:(uc + 1) * UCH,
+                                      vc * VCH:(vc + 1) * VCH]
+                            gg = g * (ok * p.scale)
 
-                                du_t = lax.broadcasted_iota(
-                                    jnp.int32, (UCH, VCH), 0).astype(f32)
-                                k0 = jnp.floor(p.eux * du_t)
-                                base_x = (w8 + a_res - XP).astype(f32)
-                                ctg = []
-                                for m in range(NBB):
-                                    wgt = _hat(X - (base_x + k0
-                                                    + float(m)))
-                                    ctg.append(wgt * gg)
-                                ctg = jnp.concatenate(ctg, axis=0)
-                                sel = sel_ref[0, pl.ds(
-                                    pl.multiple_of(
-                                        a_res * (NBB * UCH), 8),
-                                    NBB * UCH), :]
+                            du_t = lax.broadcasted_iota(
+                                jnp.int32, (UCH, VCH), 0).astype(f32)
+                            k0 = jnp.floor(p.eux * du_t)
+                            base_x = (w8 + a_res - XP).astype(f32)
+                            ctg_a, ctg_f = [], []
+                            for m in range(NBB):
+                                wgt = _hat(X - (base_x + k0 + float(m)))
+                                wg = wgt * gg
+                                ctg_a.append(wg)
+                                if arc:
+                                    ctg_f.append(wg * fy)
+                            sel = sel_ref[0, pl.ds(
+                                pl.multiple_of(
+                                    a_res * (NBB * UCH), 8),
+                                NBB * UCH), :]
+                            dims = (((0,), (0,)), ((), ()))
+                            planes = [jnp.concatenate(ctg_a, axis=0)]
+                            if arc:
+                                planes.append(
+                                    jnp.concatenate(ctg_f, axis=0))
+                            for pi, ctg in enumerate(planes):
                                 if bf16:
                                     chi = ctg.astype(jnp.bfloat16)
                                     clo = None
                                 else:
                                     chi, clo = _split16(ctg)
-                                tbar = _dotp(sel, chi, clo,
-                                             (((0,), (0,)), ((), ())),
-                                             bf16)
-                                tbar_ref[pl.ds(w8, WINB),
+                                tbar = _dotp(sel, chi, clo, dims, bf16)
+                                tbar_ref[pi, pl.ds(w8, WINB),
                                          vc * VCH:(vc + 1) * VCH] += tbar
 
-                    # ---- pass-A transpose, band side: T-bar → aligned
-                    # frame (static lane shifts; accumulates branches) ----
-                    for xc0 in range(0, nx, xch):
-                        zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv,
-                                            nzp, arc, xch)
-                        zeta, v_t, _cfb = _pass_a_zeta_chunk(
-                            p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc,
-                            xch)
-                        tapb = (zoff - PADZ).astype(f32) + v_t
-                        tb = tbar_ref[XP + xc0:XP + xc0 + xch, :]
-                        # static lane-offset slice accumulation (the old
-                        # jnp.pad per band materialized a full (xch, nva)
-                        # copy each — ~30% extra VPU traffic per apply)
-                        for m in range(MBA):
-                            wm = _hat(zeta - (tapb + float(m))) * tb
-                            aac_ref[xc0:xc0 + xch, m:m + nv] += wm
-
-                # ---- pass-A transpose, scatter matmul (branch-shared):
-                # aligned-frame cotangents → volume z ----
+                # ---- pass-A transpose, band side: T-bar → aligned
+                # frames (static lane shifts; accumulates branches) ----
                 for xc0 in range(0, nx, xch):
                     zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv,
                                         nzp, arc, xch)
-                    selza = _build_selza(zoff, nzp, nva)
-                    a = aac_ref[xc0:xc0 + xch, :]
-                    dims = (((1,), (1,)), ((), ()))
+                    zeta, v_t, _cfb = _pass_a_zeta_chunk(
+                        p, xc0, r, b, cx_r, cz_r, wa0r, nv, arc,
+                        xch)
+                    tapb = (zoff - PADZ).astype(f32) + v_t
+                    tb_a = tbar_ref[0, XP + xc0:XP + xc0 + xch, :]
+                    if arc:
+                        tb_f = tbar_ref[1, XP + xc0:XP + xc0 + xch, :]
+                        tb0 = tb_a - tb_f      # side-0 weight 1 − fy
+                    else:
+                        tb0 = tb_a
+                    # static lane-offset slice accumulation (the old
+                    # jnp.pad per band materialized a full (xch, nva)
+                    # copy each — ~30% extra VPU traffic per apply)
+                    for m in range(MBA):
+                        wgt = _hat(zeta - (tapb + float(m)))
+                        if has0:
+                            aac_ref[0, xc0:xc0 + xch, m:m + nv] += \
+                                wgt * tb0
+                        if has1:
+                            aac_ref[1, xc0:xc0 + xch, m:m + nv] += \
+                                wgt * tb_f
+
+            # ---- pass-A transpose, scatter matmuls (branch- and
+            # side-shared align one-hot of SOURCE r) ----
+            for xc0 in range(0, nx, xch):
+                zoff = _pass_a_zoff(p, xc0, r, cx_r, cz_r, nv,
+                                    nzp, arc, xch)
+                selza = _build_selza(zoff, nzp, nva)
+                dims = (((1,), (1,)), ((), ()))
+
+                def scat(plane):
+                    a = aac_ref[plane, xc0:xc0 + xch, :]
                     if bf16:
-                        sbar = lax.dot_general(
+                        return lax.dot_general(
                             a.astype(jnp.bfloat16), selza, dims,
                             preferred_element_type=f32)
-                    else:
-                        ahi, alo = _split16(a)
-                        sbar = (lax.dot_general(
-                            ahi, selza, dims, preferred_element_type=f32)
-                            + lax.dot_general(
-                                alo, selza, dims,
-                                preferred_element_type=f32))
-                    out_ref[0, k, xc0:xc0 + xch, :] += sbar
+                    ahi, alo = _split16(a)
+                    return (lax.dot_general(
+                        ahi, selza, dims, preferred_element_type=f32)
+                        + lax.dot_general(
+                            alo, selza, dims,
+                            preferred_element_type=f32))
+
+                if has0:
+                    @pl.when(t0_ok)
+                    def _(xc0=xc0, k_t0=k_t0):
+                        out_ref[0, k_t0, xc0:xc0 + xch, :] += scat(0)
+                if has1:
+                    @pl.when(t1_ok)
+                    def _(xc0=xc0, k2=k2):
+                        out_ref[0, k2, xc0:xc0 + xch, :] += scat(1)
 
 
 def _pad_dims(nu, nv, nz):
@@ -998,8 +1033,11 @@ def slab_backproject_pallas(gbar, scalars, geom, quad: str,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, K, nx, NZP), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NXPS, nv), jnp.float32),
-            pltpu.VMEM((nx, nv + NVA_PAD), jnp.float32),
+            # (all, fy) cotangent planes in arc mode; single plane plane
+            pltpu.VMEM((2 if statics["arc"] else 1, NXPS, nv),
+                       jnp.float32),
+            pltpu.VMEM((2 if statics["arc"] else 1, nx, nv + NVA_PAD),
+                       jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
