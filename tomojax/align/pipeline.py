@@ -928,6 +928,7 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
                          param_set: str = "xzab",
                          refine_iters: int = 40,
                          moment_period: int | None = 1,
+                         recon_prec: str = "f32x2",
                          bounds=None, theta_ref: Views | None = None,
                          dtype=jnp.float32,
                          volume0=None,
@@ -1072,7 +1073,8 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
             while done < recon_iters:
                 nit = min(chunk, recon_iters - done)
                 prog = _slab_recon_prog(gh, quad, recon, nit, False,
-                                        gstructs[k], jnp.dtype(dtype).name)
+                                        gstructs[k], jnp.dtype(dtype).name,
+                                        recon_prec)
                 x, rms_arr, n_it = prog(x, projections[ix], scalars)
                 done += nit
             vols[k] = x
