@@ -601,29 +601,31 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             n = geom.n_proj
             vchunk = refine_chunk or max(
                 1, min(n, (1 << 28) // max(1, 20 * geom.n_det)))
-            if vchunk >= n:
-                # freeze octant-group membership at the first outer: θ
-                # drift would re-shuffle groups → new batch shapes → a
-                # fresh Mosaic compile mid-run (minutes each through the
-                # tunnel, and where the flaky worker crashes)
-                if refine_gs is None:
-                    refine_gs, _ = sp.scalar_groups(geom, views, "arc",
-                                                    dtype)
-                ref = refine_views_slab(volume, proj_work, geom, views,
-                                        mask=mask, lower=lo, upper=hi,
-                                        max_iter=refine_iters,
-                                        groups=refine_gs, dtype=dtype)
-                hb(f"outer {it}: refine {n}/{n}")
-            else:
+
+            def lm_refine(vws, quiet=False):
+                nonlocal refine_gs
+                if vchunk >= n:
+                    # freeze octant-group membership at the first outer:
+                    # θ drift would re-shuffle groups → new batch shapes
+                    # → a fresh Mosaic compile mid-run (minutes each
+                    # through the tunnel, where the flaky worker crashes)
+                    if refine_gs is None:
+                        refine_gs, _ = sp.scalar_groups(geom, vws, "arc",
+                                                        dtype)
+                    out = refine_views_slab(volume, proj_work, geom, vws,
+                                            mask=mask, lower=lo, upper=hi,
+                                            max_iter=refine_iters,
+                                            groups=refine_gs, dtype=dtype)
+                    if not quiet:
+                        hb(f"outer {it}: refine {n}/{n}")
+                    return out
                 parts = []
                 for i0 in range(0, n, vchunk):
                     sl = np.arange(i0, min(i0 + vchunk, n))
-                    sub = jax.tree.map(lambda a: a[sl], views)
+                    sub = jax.tree.map(lambda a: a[sl], vws)
                     cgeom = dataclasses.replace(geom, n_proj=len(sl))
                     # freeze each chunk's octant groups at the first
-                    # outer (same rationale as the unchunked refine_gs:
-                    # θ drift re-shuffles group batch shapes → fresh
-                    # Mosaic compiles mid-run, minutes each at ≥256³)
+                    # outer (same rationale as the unchunked refine_gs)
                     if i0 not in refine_gs_chunks:
                         refine_gs_chunks[i0], _ = sp.scalar_groups(
                             cgeom, sub, "arc", dtype)
@@ -632,10 +634,14 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                         lower=lo[sl], upper=hi[sl],
                         max_iter=refine_iters,
                         groups=refine_gs_chunks[i0], dtype=dtype))
-                    hb(f"outer {it}: refine {min(i0 + vchunk, n)}/{n}")
-                ref = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
-            if (accel_period and refine_gs is not None
-                    and (it + 1) % accel_period == 0):
+                    if not quiet:
+                        hb(f"outer {it}: refine "
+                           f"{min(i0 + vchunk, n)}/{n}")
+                return jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                                    *parts)
+
+            ref = lm_refine(views)
+            if accel_period and (it + 1) % accel_period == 0:
                 # flip rescue: a view stuck in a tilt-sign-mirrored local
                 # minimum (near-symmetric object ⇒ P(α) ≈ P(-α) at
                 # special φ) has an outlier residual LM cannot descend
@@ -673,10 +679,7 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                         th_alt = np.clip(th_alt, lo_np, hi_np)
                         alt = Views.from_theta6(
                             jnp.asarray(th_alt, dtype), cor=views.cor)
-                        ref2 = refine_views_slab(
-                            volume, proj_work, geom, alt, mask=mask,
-                            lower=lo, upper=hi, max_iter=refine_iters,
-                            groups=refine_gs, dtype=dtype)
+                        ref2 = lm_refine(alt, quiet=True)
                         c2 = np.asarray(ref2.cost, np.float64)
                         take = (c2 < best * (1.0 - flip_rel)) & bad
                         if take.any():
