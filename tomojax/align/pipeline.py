@@ -670,7 +670,14 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                     n_take = 0
                     lo_np = np.asarray(lo, np.float64)
                     hi_np = np.asarray(hi, np.float64)
-                    combos = [c for c in ((4,), (5,), (4, 5))
+                    # each combo re-runs the full batched refinement; at
+                    # config-5 scale (n_proj·n_det large) one rescue
+                    # refinement costs minutes — restrict to the joint
+                    # flip there (single-axis escapes compose over
+                    # successive rescue cycles)
+                    all_combos = ((4, 5),) if n * geom.n_det > (1 << 26) \
+                        else ((4,), (5,), (4, 5))
+                    combos = [c for c in all_combos
                               if all(mask[i] for i in c)]
                     for cols in combos:
                         th_alt = th.copy()
