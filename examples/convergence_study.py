@@ -449,13 +449,15 @@ def main():
             if args.data_family != "slab_plane" \
                     and bool(jnp.any(x != 0)):
                 if args.data_family == "slab":
-                    p_src = sp.project(x, geom, state.views,
-                                       quad="arc").reshape(n_proj, -1)
+                    p_src = sp.project(
+                        x, geom, state.views, quad="arc",
+                        strict_bounds=False).reshape(n_proj, -1)
                 else:
                     p_src = _exact_forward(x, geom, state.views,
                                            jnp.float32, 15)
-                p_pl = sp.project(x, geom, state.views,
-                                  quad="plane").reshape(n_proj, -1)
+                p_pl = sp.project(
+                    x, geom, state.views, quad="plane",
+                    strict_bounds=False).reshape(n_proj, -1)
                 b_work = b - (p_src - p_pl)
                 print(f"[final] defect round {round_i} rel="
                       f"{float(jnp.linalg.norm(p_src - p_pl) / jnp.linalg.norm(b)):.2e}",

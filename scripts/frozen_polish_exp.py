@@ -129,8 +129,8 @@ def main():
         b_work = b
         if args.mode == "c64":
             p_exact = _exact_forward(x0, geom, vws, jnp.float32, 15)
-            p_slab = sp.project(x0, geom, vws,
-                                quad="arc").reshape(n_proj, -1)
+            p_slab = sp.project(x0, geom, vws, quad="arc",
+                                strict_bounds=False).reshape(n_proj, -1)
             b_work = b - (p_exact - p_slab)
             rel = float(jnp.linalg.norm(p_exact - p_slab)
                         / jnp.linalg.norm(b))

@@ -238,11 +238,17 @@ def _support_mask(geom: Geometry, projections, margin: float = 1.5,
 def _family_synth(volume, geom: Geometry, views: Views, family: str,
                   quad: str, dtype, chunk: int) -> jnp.ndarray:
     """One forward apply of the given family at the current (volume, θ)
-    — reprojections for the moment-matching hook, ``(n_proj, n_det)``."""
+    — reprojections for the moment-matching hook, ``(n_proj, n_det)``.
+
+    Slab families use the warn-only band policy (NOT sp.project's
+    strict_bounds): mid-alternation θ can sit at the refinement box
+    corner, and a strict demotion of that view's whole octant group to
+    the XLA fallback is a giant program the runtime kills (the config-5
+    outer-3 crash loop)."""
     if family in ("slab", "slab_plane"):
         from tomojax.core import slab_projector as sp
-        return sp.project(volume, geom, views, quad=quad,
-                          dtype=dtype).reshape(geom.n_proj, -1)
+        return sp.project(volume, geom, views, quad=quad, dtype=dtype,
+                          strict_bounds=False).reshape(geom.n_proj, -1)
     if family == "ray":
         return _exact_forward(volume, geom, views, dtype, chunk)
     op = make_operator(geom, views, family=family, dtype=dtype)
@@ -490,7 +496,9 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             p_exact = _exact_forward(volume, geom, views, dtype,
                                      debias_chunk)
             p_fam = sp.project(volume, geom, views, quad=quad,
-                               dtype=dtype).reshape(geom.n_proj, -1)
+                               dtype=dtype,
+                               strict_bounds=False).reshape(geom.n_proj,
+                                                            -1)
             d = (p_exact - p_fam).astype(dtype)
             proj_work = projections - d
             defect_done = it
@@ -1128,8 +1136,9 @@ def align_reconstruct_cv(projections, geom: Geometry, views0: Views, *,
                 ix = fold_ix[k]
                 sub = jax.tree.map(lambda a: a[ix], views)
                 synth = sp.project(vols[k] * mom_mask, fgeoms[k], sub,
-                                   quad=quad,
-                                   dtype=dtype).reshape(len(ix), -1)
+                                   quad=quad, dtype=dtype,
+                                   strict_bounds=False).reshape(len(ix),
+                                                                -1)
                 dmom[ix] = np.asarray(moment_match(
                     projections[ix], synth, geom.det_shape), np.float64)
             dmom = _project_out_gauge(dmom, views.phi)

@@ -811,7 +811,7 @@ def _public_apply_prog(geom: Geometry, gstruct, quad: str, dtype_str: str,
 
 def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
             quad: str = "arc", views_chunk: int | None = None,
-            prec: str | None = None):
+            prec: str | None = None, strict_bounds: bool = True):
     """Multi-view slab forward → ``(n_proj, n_det)``.
 
     Views are grouped host-side by orientation (swap, yflip, uflip); each
@@ -819,12 +819,21 @@ def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
     TPU each group runs through the fused Pallas kernel
     (``tomojax.kernels.slab``), and the whole apply is one cached jitted
     program (per-view scalars enter as arguments, so new θ with the same
-    group structure reuses the compilation)."""
+    group structure reuses the compilation).
+
+    :param strict_bounds: demote over-band-budget groups to the XLA path
+        (the single-apply accuracy contract). Pass ``False`` inside
+        alternating drivers whose θ can sit at the refinement box corner:
+        a single corner view would otherwise demote its whole octant
+        group to the XLA fallback — a giant slow program the axon
+        runtime kills mid-run (observed as "TPU worker crashed" at the
+        config-5 moment hook) — while the kernel's clipped anchors
+        degrade that view ≤1% and never fault."""
     nx, ny, _ = geom.vox_shape
     assert nx == ny, "slab family requires nx == ny (square x-y footprint)"
     from tomojax.kernels.slab import resolve_prec
     gstruct, scalars = scalar_groups(geom, views, quad, dtype,
-                                     strict_bounds=True)
+                                     strict_bounds=strict_bounds)
     prog = _public_apply_prog(geom, gstruct, quad, jnp.dtype(dtype).name,
                               views_chunk, False, resolve_prec(prec))
     return prog(vol, scalars)
@@ -832,12 +841,12 @@ def project(vol, geom: Geometry, views: Views, *, dtype=jnp.float32,
 
 def backproject(sino, geom: Geometry, views: Views, *, dtype=jnp.float32,
                 quad: str = "arc", views_chunk: int | None = None,
-                prec: str | None = None):
+                prec: str | None = None, strict_bounds: bool = True):
     """Exact adjoint of :func:`project` (vjp of the linear forward; on the
     Pallas path this is the dedicated transpose kernel)."""
     from tomojax.kernels.slab import resolve_prec
     gstruct, scalars = scalar_groups(geom, views, quad, dtype,
-                                     strict_bounds=True)
+                                     strict_bounds=strict_bounds)
     prog = _public_apply_prog(geom, gstruct, quad, jnp.dtype(dtype).name,
                               views_chunk, True, resolve_prec(prec))
     return prog(jnp.asarray(sino), scalars)
