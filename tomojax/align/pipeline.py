@@ -472,7 +472,6 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
     quad = "arc" if family == "slab" else "plane"
     gstruct = None
     refine_gs = None       # frozen octant groups for lm_slab (see below)
-    refine_gs_chunks = {}  # frozen per-chunk groups (chunked lm_slab)
     th_hist: list = []     # last 3 θ iterates for aitken_extrapolate
     last_jump = start_iter - 1
     escaped = np.zeros((geom.n_proj, 6), bool)
@@ -610,16 +609,16 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             vchunk = refine_chunk or max(
                 1, min(n, (1 << 28) // max(1, 20 * geom.n_det)))
 
-            def lm_refine(vws, quiet=False):
+            def lm_refine(vws, quiet=False, persist=False):
                 nonlocal refine_gs
+                # freeze GLOBAL octant-group membership at the first
+                # outer: θ drift would re-shuffle groups → new batch
+                # shapes → a fresh Mosaic compile mid-run (minutes each
+                # through the tunnel, where the flaky worker crashes)
+                if refine_gs is None:
+                    refine_gs, _ = sp.scalar_groups(geom, vws, "arc",
+                                                    dtype)
                 if vchunk >= n:
-                    # freeze octant-group membership at the first outer:
-                    # θ drift would re-shuffle groups → new batch shapes
-                    # → a fresh Mosaic compile mid-run (minutes each
-                    # through the tunnel, where the flaky worker crashes)
-                    if refine_gs is None:
-                        refine_gs, _ = sp.scalar_groups(geom, vws, "arc",
-                                                        dtype)
                     out = refine_views_slab(volume, proj_work, geom, vws,
                                             mask=mask, lower=lo, upper=hi,
                                             max_iter=refine_iters,
@@ -627,28 +626,62 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
                     if not quiet:
                         hb(f"outer {it}: refine {n}/{n}")
                     return out
-                parts = []
-                for i0 in range(0, n, vchunk):
-                    sl = np.arange(i0, min(i0 + vchunk, n))
-                    sub = jax.tree.map(lambda a: a[sl], vws)
-                    cgeom = dataclasses.replace(geom, n_proj=len(sl))
-                    # freeze each chunk's octant groups at the first
-                    # outer (same rationale as the unchunked refine_gs)
-                    if i0 not in refine_gs_chunks:
-                        refine_gs_chunks[i0], _ = sp.scalar_groups(
-                            cgeom, sub, "arc", dtype)
-                    parts.append(refine_views_slab(
-                        volume, proj_work[sl], geom, sub, mask=mask,
-                        lower=lo[sl], upper=hi[sl],
-                        max_iter=refine_iters,
-                        groups=refine_gs_chunks[i0], dtype=dtype))
-                    if not quiet:
-                        hb(f"outer {it}: refine "
-                           f"{min(i0 + vchunk, n)}/{n}")
-                return jax.tree.map(lambda *xs: jnp.concatenate(xs),
-                                    *parts)
+                # chunk WITHIN the frozen octant groups so every chunk is
+                # single-octant with a deterministic padded batch shape —
+                # arbitrary [i0, i0+vchunk) windows straddle octant
+                # boundaries, whose varying split sizes forced fresh
+                # Mosaic compiles on every watchdog retry (the config-5
+                # outer-3 crash loop). Completed chunks persist to a
+                # partial checkpoint (persist=True) so a mid-refinement
+                # worker crash resumes at the next chunk, not the outer.
+                th_out = np.zeros((n, 6))
+                cost_out = np.zeros((n,))
+                done_mask = np.zeros((n,), bool)
+                ppath = (os.path.join(checkpoint_dir,
+                                      f"refine_partial_{it:04d}.npz")
+                         if persist and checkpoint_dir else None)
+                if ppath and os.path.exists(ppath):
+                    z = np.load(ppath)
+                    th_out, cost_out = z["theta"], z["cost"]
+                    done_mask = z["done"]
+                    hb(f"outer {it}: refine resuming with "
+                       f"{int(done_mask.sum())}/{n} views done")
+                done_ct = int(done_mask.sum())
+                for idx, sw, yf, uf, uk in refine_gs:
+                    idx = np.asarray(idx)
+                    for j0 in range(0, len(idx), vchunk):
+                        sl = idx[j0:j0 + vchunk]
+                        if done_mask[sl].all():
+                            continue
+                        sub = jax.tree.map(lambda a: a[sl], vws)
+                        gch = ((tuple(range(len(sl))), sw, yf, uf, uk),)
+                        r = refine_views_slab(
+                            volume, proj_work[sl], geom, sub, mask=mask,
+                            lower=lo[sl], upper=hi[sl],
+                            max_iter=refine_iters, groups=gch,
+                            dtype=dtype)
+                        th_out[sl] = np.asarray(r.theta6, np.float64)
+                        cost_out[sl] = np.asarray(r.cost, np.float64)
+                        done_mask[sl] = True
+                        done_ct += len(sl)
+                        if ppath:
+                            np.savez(ppath, theta=th_out, cost=cost_out,
+                                     done=done_mask)
+                        if not quiet:
+                            hb(f"outer {it}: refine {done_ct}/{n}")
+                from tomojax.align.refine import RefineResult
+                return RefineResult(
+                    theta6=jnp.asarray(th_out, dtype),
+                    cost=jnp.asarray(cost_out, dtype),
+                    n_iter=jnp.full((n,), refine_iters, jnp.int32),
+                    converged=jnp.ones((n,), bool))
 
-            ref = lm_refine(views)
+            ref = lm_refine(views, persist=True)
+            if checkpoint_dir:
+                pp = os.path.join(checkpoint_dir,
+                                  f"refine_partial_{it:04d}.npz")
+                if os.path.exists(pp):
+                    os.remove(pp)
             if accel_period and (it + 1) % accel_period == 0:
                 # flip rescue: a view stuck in a tilt-sign-mirrored local
                 # minimum (near-symmetric object ⇒ P(α) ≈ P(-α) at
