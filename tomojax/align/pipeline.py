@@ -812,9 +812,26 @@ def align_reconstruct(projections, geom: Geometry, views0: Views, *,
             if mom_mask is None:
                 mom_mask = jnp.asarray(
                     _support_mask(geom, np.asarray(projections)), dtype)
-            synth = _family_synth(volume * mom_mask,
-                                  geom, views, family, quad,
-                                  dtype, debias_chunk)
+            # reuse the SOLVER's frozen octant groups for the synth
+            # apply: re-deriving groups per outer re-traces the whole
+            # 512³ apply program whenever θ drift shuffles a boundary
+            # view (~35 min XLA compile through the tunnel, per outer)
+            synth = None
+            if scalar_prog and gstruct is not None:
+                from tomojax.core import slab_projector as sp
+                res = sp.group_scalars_for(geom, views, gstruct, quad,
+                                           dtype)
+                if res is not None:
+                    g2, sc2 = res
+                    prog = sp._public_apply_prog(
+                        geom, g2, quad, jnp.dtype(dtype).name, None,
+                        False, "f32x2")
+                    synth = prog(volume * mom_mask,
+                                 sc2).reshape(geom.n_proj, -1)
+            if synth is None:
+                synth = _family_synth(volume * mom_mask,
+                                      geom, views, family, quad,
+                                      dtype, debias_chunk)
             dmom = moment_match(proj_work, synth, geom.det_shape)
             dmom = _project_out_gauge(dmom, views.phi)
             th = theta.astype(dmom.dtype)
